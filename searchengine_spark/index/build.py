@@ -1,0 +1,353 @@
+"""Partition-parallel inverted-index build (SURVEY.md §7.3-§7.4).
+
+Pipeline (all DataFrame ops; Python only at the two Arrow UDF kernels):
+
+    pages(url, warc_ts, html, text, lang)
+      → tokenize_doc (Arrow UDF: per-doc term/tf/positions + dl + Ld)
+      → dense doc_id assignment (scalable: range-partition by url,
+        per-partition counts → broadcast offsets; NO single-task window)
+      → docs(doc_id, url, warc_ts, lang, dl, ld)
+      → explode to (doc_id, term, tf, positions, dl)
+      → bucket = doc_id // bucket_docs        ← the skew strategy
+      → groupBy(term, bucket): sorted posting block, stats, block-max
+      → Arrow UDF: delta+varbyte encode → binary blobs
+      → postings(term, bucket, df_b, …, docs_vb, tfs_vb, pos_vb)
+        written term-clustered; lexicon(term, df, cf, max_tf) on top.
+
+Skew / "salting" (north_rule): the salt is ``bucket = doc_id //
+bucket_docs`` — a *range* salt rather than a hash salt. Every
+``groupBy(term, bucket)`` group holds ≤ bucket_docs postings, so a
+stopword appearing in 10^11 documents becomes 10^11/bucket_docs
+bounded-size groups instead of one catastrophic reducer. Unlike hash
+salting it needs NO second-phase merge: bucket order == docID order, so
+the per-term posting list is simply the bucket sequence — the same
+document-partitioned layout real web indexes use, and the reference's
+docID-sorted invariant (TieredIndexWriter.java:173) holds per block.
+
+Resumability (north_rule): the build is sharded into doc-range chunks;
+each chunk commits its postings/docs parquet plus a manifest JSON with
+lineage (input fingerprint, doc range, config) and metrics (docs/sec,
+postings/sec, bytes). Restart skips committed chunks. A chunk is exactly
+an Iceberg append commit when the Iceberg seam is active.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
+
+from ..text.udfs import tokenize_doc
+from .varbyte import encode_position_lists, encode_sorted, vb_encode
+
+DEFAULT_BUCKET_DOCS = 1 << 17  # 131,072 docs per posting block row
+
+
+# --------------------------------------------------------------------------
+# dense doc_id assignment — no global window, no driver collect of data
+# --------------------------------------------------------------------------
+
+def assign_dense_ids(
+    df: DataFrame, order_col: str = "url", id_col: str = "doc_id", start: int = 0
+) -> DataFrame:
+    """0-based dense ids in ``order_col`` order (SURVEY §1.1: the Spark
+    analogue of the reference's file-visit docID, SimpleEngine.java:58-75,
+    with url order as the documented deterministic walk order).
+
+    Scalable recipe: range-repartition + sort by the key, persist so both
+    passes see one materialization, count rows per partition (tiny driver
+    collect: one long per partition), broadcast cumulative offsets, then
+    per-partition local enumeration. A plain ``row_number() OVER (ORDER BY
+    url)`` collapses to one task — wrong at 10^12 rows."""
+    parts = (
+        df.repartitionByRange(
+            max(df.sparkSession.sparkContext.defaultParallelism, 8), F.col(order_col)
+        )
+        # pin the range-partition id as a REAL column before any further
+        # shuffle: spark_partition_id() re-evaluated downstream would see
+        # post-exchange ids and mis-assign offsets
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = parts.groupBy("_pid").count().collect()
+    by_pid = {r["_pid"]: r["count"] for r in counts}
+    offsets: dict[int, int] = {}
+    acc = start
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+    off_expr = F.create_map(
+        *[x for pid, o in offsets.items() for x in (F.lit(pid), F.lit(o))]
+    )
+    from pyspark.sql.window import Window
+
+    # window partitions == range partitions: each window partition holds one
+    # contiguous key range, so local row_number + broadcast offset is a
+    # global dense rank without any single-task stage
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    out = parts.withColumn(
+        id_col,
+        F.row_number().over(w).cast("long") - 1 + off_expr[F.col("_pid")],
+    ).drop("_pid")
+    return out
+
+
+# --------------------------------------------------------------------------
+# posting-block encoding kernel (Arrow UDF)
+# --------------------------------------------------------------------------
+
+ENC_SCHEMA = T.StructType(
+    [
+        T.StructField("docs_vb", T.BinaryType()),
+        T.StructField("tfs_vb", T.BinaryType()),
+        T.StructField("pos_vb", T.BinaryType()),
+    ]
+)
+
+
+@F.pandas_udf(ENC_SCHEMA)
+def _encode_block(
+    doc_ids: pd.Series, tfs: pd.Series, positions: pd.Series
+) -> pd.DataFrame:
+    """Inputs are aligned arrays per (term,bucket) row, already docID-sorted
+    JVM-side (sort_array on struct). Deltas+varbyte, all numpy."""
+    out_d, out_t, out_p = [], [], []
+    for d, t, p in zip(doc_ids, tfs, positions):
+        da = np.asarray(d, dtype=np.int64)
+        out_d.append(encode_sorted(da))
+        out_t.append(vb_encode(np.asarray(t, dtype=np.int64)))
+        out_p.append(encode_position_lists([np.asarray(x, dtype=np.int64) for x in p]))
+    return pd.DataFrame({"docs_vb": out_d, "tfs_vb": out_t, "pos_vb": out_p})
+
+
+# --------------------------------------------------------------------------
+# build
+# --------------------------------------------------------------------------
+
+def tokenize_pages(pages: DataFrame) -> DataFrame:
+    tk = pages.select(
+        "url",
+        "warc_ts",
+        "lang",
+        tokenize_doc(F.col("text")).alias("tk"),
+    )
+    return tk.select(
+        "url", "warc_ts", "lang", "tk.terms", "tk.dl", "tk.ld"
+    )
+
+
+def build_postings_for_docs(
+    docs_tokenized: DataFrame, bucket_docs: int = DEFAULT_BUCKET_DOCS
+) -> DataFrame:
+    """docs_tokenized: (doc_id, dl, terms[]) → postings blocks."""
+    dt = docs_tokenized.select(
+        "doc_id",
+        "dl",
+        F.explode("terms").alias("t"),
+    ).select(
+        "doc_id",
+        "dl",
+        F.col("t.term").alias("term"),
+        F.col("t.tf").alias("tf"),
+        F.col("t.positions").alias("positions"),
+    )
+    dt = dt.withColumn(
+        "bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("int")
+    )
+    grouped = dt.groupBy("term", "bucket").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "tf", "positions", "dl"))
+        ).alias("plist"),
+        F.count(F.lit(1)).cast("int").alias("df_b"),
+        F.sum("tf").alias("cf_b"),
+        F.max("tf").alias("max_tf"),
+        F.min("dl").alias("min_dl"),
+        F.min("doc_id").alias("doc_first"),
+        F.max("doc_id").alias("doc_last"),
+    )
+    # aligned parallel arrays (JVM transform; keeps Arrow transfer columnar)
+    grouped = grouped.select(
+        "term",
+        "bucket",
+        "df_b",
+        "cf_b",
+        "max_tf",
+        "min_dl",
+        "doc_first",
+        "doc_last",
+        F.expr("transform(plist, x -> x.doc_id)").alias("d_arr"),
+        F.expr("transform(plist, x -> x.tf)").alias("t_arr"),
+        F.expr("transform(plist, x -> x.positions)").alias("p_arr"),
+    )
+    enc = grouped.withColumn(
+        "enc", _encode_block(F.col("d_arr"), F.col("t_arr"), F.col("p_arr"))
+    )
+    return enc.select(
+        "term",
+        "bucket",
+        "df_b",
+        "cf_b",
+        "max_tf",
+        "min_dl",
+        "doc_first",
+        "doc_last",
+        # block-max metadata for WAND (1+ln is monotone in tf, so the
+        # block's max tf-idf weight is 1+ln(max_tf))
+        (F.lit(1.0) + F.log(F.col("max_tf").cast("double"))).alias("max_wdt"),
+        F.col("enc.docs_vb").alias("docs_vb"),
+        F.col("enc.tfs_vb").alias("tfs_vb"),
+        F.col("enc.pos_vb").alias("pos_vb"),
+    )
+
+
+class IndexBuilder:
+    """Chunked, resumable index build with per-chunk lineage + metrics."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        bucket_docs: int = DEFAULT_BUCKET_DOCS,
+        chunk_docs: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.out = out_dir
+        self.bucket_docs = bucket_docs
+        self.chunk_docs = chunk_docs  # None → single chunk
+        os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+
+    # -- manifest helpers ---------------------------------------------------
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.out, "_manifests", f"{name}.json")
+
+    def _committed(self, name: str) -> bool:
+        return os.path.exists(self._manifest_path(name))
+
+    def _commit(self, name: str, payload: dict) -> None:
+        tmp = self._manifest_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path(name))
+
+    # -- build --------------------------------------------------------------
+    def build(self, pages: DataFrame) -> dict:
+        """Full build: docs table once, then postings chunk by chunk.
+        Safe to re-invoke after a crash — committed chunks are skipped."""
+        t0 = time.time()
+        docs_path = os.path.join(self.out, "docs")
+        if not self._committed("docs"):
+            tk = tokenize_pages(pages)
+            with_ids = assign_dense_ids(tk, order_col="url")
+            docs = with_ids.select(
+                "doc_id", "url", "warc_ts", "lang", "dl", "ld", "terms"
+            )
+            dt0 = time.time()
+            docs.write.mode("overwrite").parquet(docs_path)
+            n_docs = self.spark.read.parquet(docs_path).count()
+            self._commit(
+                "docs",
+                {
+                    "stage": "docs",
+                    "rows": n_docs,
+                    "elapsed_sec": time.time() - dt0,
+                    "docs_per_sec": n_docs / max(time.time() - dt0, 1e-9),
+                    "bucket_docs": self.bucket_docs,
+                    "order": "url",
+                },
+            )
+        docs_full = self.spark.read.parquet(docs_path)
+        n_docs = json.load(open(self._manifest_path("docs")))["rows"]
+
+        chunk = self.chunk_docs or max(n_docs, 1)
+        # chunk boundary must align with bucket boundary so every
+        # (term,bucket) group lives in exactly one chunk
+        chunk = max(self.bucket_docs, (chunk // self.bucket_docs) * self.bucket_docs)
+        n_chunks = max(1, math.ceil(n_docs / chunk))
+        stats = []
+        for c in range(n_chunks):
+            name = f"postings_chunk_{c:05d}"
+            cdir = os.path.join(self.out, "postings", f"chunk={c}")
+            if self._committed(name):
+                stats.append(json.load(open(self._manifest_path(name))))
+                continue
+            ct0 = time.time()
+            lo, hi = c * chunk, min((c + 1) * chunk, n_docs)
+            part = docs_full.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).select("doc_id", "dl", "terms")
+            post = build_postings_for_docs(part, self.bucket_docs)
+            post = post.repartition(
+                max(self.spark.sparkContext.defaultParallelism, 4), "term"
+            ).sortWithinPartitions("term", "bucket")
+            post.write.mode("overwrite").parquet(cdir)
+            written = self.spark.read.parquet(cdir)
+            agg = written.agg(
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum("df_b").alias("postings"),
+                F.sum(F.length("docs_vb") + F.length("tfs_vb") + F.length("pos_vb")).alias(
+                    "blob_bytes"
+                ),
+            ).collect()[0]
+            el = time.time() - ct0
+            m = {
+                "stage": "postings",
+                "chunk": c,
+                "doc_range": [lo, hi],
+                "blocks": agg["blocks"],
+                "postings": int(agg["postings"] or 0),
+                "blob_bytes": int(agg["blob_bytes"] or 0),
+                "elapsed_sec": el,
+                "docs_per_sec": (hi - lo) / max(el, 1e-9),
+                "postings_per_sec": int(agg["postings"] or 0) / max(el, 1e-9),
+                "lineage": {"docs_manifest": "docs", "bucket_docs": self.bucket_docs},
+            }
+            self._commit(name, m)
+            stats.append(m)
+
+        if not self._committed("lexicon"):
+            post_all = self.spark.read.option("basePath", os.path.join(self.out, "postings")).parquet(
+                os.path.join(self.out, "postings")
+            )
+            lex = post_all.groupBy("term").agg(
+                F.sum("df_b").cast("long").alias("df"),
+                F.sum("cf_b").cast("long").alias("cf"),
+                F.max("max_tf").alias("max_tf"),
+                F.max("max_wdt").alias("max_wdt"),
+                F.count(F.lit(1)).alias("n_blocks"),
+            )
+            lex.repartition(
+                max(self.spark.sparkContext.defaultParallelism // 2, 2), "term"
+            ).sortWithinPartitions("term").write.mode("overwrite").parquet(
+                os.path.join(self.out, "lexicon")
+            )
+            self._commit("lexicon", {"stage": "lexicon"})
+
+        if not self._committed("meta"):
+            row = docs_full.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dl").alias("total_dl"),
+            ).collect()[0]
+            self._commit(
+                "meta",
+                {
+                    "n_docs": row["n"],
+                    "total_dl": int(row["total_dl"] or 0),
+                    "avgdl": (row["total_dl"] or 0) / max(row["n"], 1),
+                    "bucket_docs": self.bucket_docs,
+                },
+            )
+        total = time.time() - t0
+        return {
+            "n_docs": n_docs,
+            "chunks": stats,
+            "elapsed_sec": total,
+            "docs_per_sec": n_docs / max(total, 1e-9),
+        }

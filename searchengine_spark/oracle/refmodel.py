@@ -1,0 +1,117 @@
+"""Driver-side NumPy/pure-Python oracle of the reference engine semantics
+(SURVEY.md §5 item 2). Used ONLY by tests — never a Spark execution path.
+
+Builds the exact positional index the reference would (via the golden-
+validated tokenizer replay) over a pandas corpus, assigns doc_ids the way
+the engine does (0-based dense in url order), and answers ranked queries
+with the reference's accumulation order — term-at-a-time, postings in
+docID order (RankedQueryParser.java:69-134) — so float64 scores are
+bit-comparable with the reference and tolerance-comparable with Spark's
+unordered sums.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import pandas as pd
+
+from ..query.exec import BM25_B, BM25_K1, expand_ranked_query
+from ..text.tokenizer import build_positional_index
+
+
+@dataclass
+class OracleIndex:
+    n_docs: int
+    index: dict  # term -> [(doc_id, [pos...]), ...] docID-ascending
+    ld: dict  # doc_id -> float
+    dl: dict = field(default_factory=dict)  # doc_id -> Σ tf
+    urls: dict = field(default_factory=dict)  # doc_id -> url
+
+    @property
+    def avgdl(self) -> float:
+        return sum(self.dl.values()) / max(self.n_docs, 1)
+
+
+def build_oracle_index(pages: pd.DataFrame) -> OracleIndex:
+    """pages: DataFrame with url + text columns. doc_id = rank in url
+    order (the engine's documented walk order, SURVEY §1.1)."""
+    ordered = pages.sort_values("url").reset_index(drop=True)
+    docs = list(enumerate(ordered["text"].tolist()))
+    index, weights = build_positional_index(docs)
+    dl = {d: 0 for d, _ in docs}
+    for plist in index.values():
+        for d, ps in plist:
+            dl[d] += len(ps)
+    return OracleIndex(
+        n_docs=len(docs),
+        index=index,
+        ld=weights,
+        dl=dl,
+        urls=dict(enumerate(ordered["url"].tolist())),
+    )
+
+
+def ranked_topk_oracle(
+    oidx: OracleIndex, query: str, k: int = 20, scorer: str = "tfidf_ref"
+) -> list[tuple[int, float]]:
+    """Returns [(doc_id, score)] sorted (score desc, doc_id asc), length ≤ k.
+    Accumulation replays the reference loop order exactly."""
+    terms = expand_ranked_query(query)
+    acc: dict[int, float] = {}
+    n = float(oidx.n_docs)
+    for term in terms:  # term-at-a-time, duplicates accumulate again
+        plist = oidx.index.get(term)
+        if not plist:
+            continue
+        df = float(len(plist))
+        if scorer == "tfidf_ref":
+            wqt = math.log(1.0 + n / df)
+        else:
+            wqt = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for doc_id, positions in plist:  # docID order
+            tf = len(positions)
+            if scorer == "tfidf_ref":
+                partial = (1.0 + math.log(tf)) * wqt
+            else:
+                dl = oidx.dl[doc_id]
+                norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / oidx.avgdl)
+                partial = wqt * tf * (BM25_K1 + 1.0) / (tf + norm)
+            acc[doc_id] = acc.get(doc_id, 0.0) + partial
+    if scorer == "tfidf_ref":
+        for d in list(acc):
+            acc[d] = acc[d] / oidx.ld[d]
+    ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+def assert_rank_identical(
+    engine: list[tuple[int, float]],
+    oracle: list[tuple[int, float]],
+    rel_tol: float = 1e-9,
+) -> None:
+    """Rank-identity up to float-sum reordering: scores must agree within
+    rel_tol, and rank order must agree wherever adjacent oracle scores
+    differ by more than rel_tol (true ties are pinned by doc_id asc on
+    both sides, so they compare exactly)."""
+    assert len(engine) == len(oracle), (len(engine), len(oracle))
+    for (ed, es), (od, os_) in zip(engine, oracle):
+        assert abs(es - os_) <= rel_tol * max(1.0, abs(os_)), (
+            "score mismatch",
+            ed,
+            es,
+            od,
+            os_,
+        )
+    # positions where order is forced (gap > tol) must match doc ids
+    for i, ((ed, es), (od, os_)) in enumerate(zip(engine, oracle)):
+        forced = True
+        if i > 0 and abs(oracle[i - 1][1] - os_) <= rel_tol * max(1.0, abs(os_)):
+            forced = False
+        if i < len(oracle) - 1 and abs(oracle[i + 1][1] - os_) <= rel_tol * max(
+            1.0, abs(os_)
+        ):
+            forced = False
+        if forced:
+            assert ed == od, ("rank mismatch at forced position", i, engine, oracle)

@@ -1,0 +1,186 @@
+"""Ranked top-k query execution (SURVEY.md §7.5).
+
+Spark shape (§3.2): tiny broadcast dim (query-term weights) ⋈ bucket/
+rowgroup-pruned postings scan → Arrow-UDF block decode → JVM aggregation
+→ top-k via ORDER BY ... LIMIT k (TakeOrderedAndProject — no full sort).
+
+Two scorers on one index (SURVEY §2.6 note):
+  - ``tfidf_ref``: the reference's lnc tf-idf, float64 natural log —
+    score(d) = Σ_t (1+ln tf)·ln(1+N/df) / Ld(d)
+    (RankedQueryParser.java:82-94,119-132). Rank-identity gate.
+  - ``bm25`` (k1=1.2, b=0.75): the north-star web-scale scorer.
+    idf = ln((N-df+0.5)/(df+0.5)+1), dl = Σ tf, avgdl from build meta.
+
+Tie-break: (score DESC, doc_id ASC) — the reference's heap leaves equal
+scores unordered (RankedQueryParser.java:42-52), so we pin doc_id order
+and the oracle mirrors it (SURVEY §2.5 K4).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections import Counter
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.varbyte import decode_sorted, vb_decode
+from ..text.porter import porter_stem
+from ..text.tokenizer import remove_apostrophes, strip_for_query
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def expand_ranked_query(query: str) -> list[str]:
+    """Reference ranked-query term expansion (RankedQueryParser.java:69-116):
+    lowercase (QueryFrame.java:284), split on single spaces, each subquery
+    split on '-' with every part T9-normalized, plus the hyphens-removed
+    concatenation as an extra term. Duplicates are KEPT — a term appearing
+    twice accumulates twice."""
+    terms: list[str] = []
+    for sub in query.lower().strip().split(" "):
+        # Java String.split drops trailing empties only; empty tokens stem
+        # to "" and lookup misses — equivalent to skipping them.
+        for tok in sub.split("-"):
+            t = porter_stem(remove_apostrophes(strip_for_query(tok)))
+            if t:
+                terms.append(t)
+        if "-" in sub:
+            t = porter_stem(remove_apostrophes(strip_for_query(sub.replace("-", ""))))
+            if t:
+                terms.append(t)
+    return terms
+
+
+@dataclass
+class IndexHandle:
+    """Open handle on a built index directory (cache the DataFrames — the
+    reference reuses parser/index objects across queries the same way,
+    QueryFrame.java:245-248)."""
+
+    spark: SparkSession
+    path: str
+
+    def __post_init__(self) -> None:
+        self.postings = self.spark.read.option(
+            "basePath", os.path.join(self.path, "postings")
+        ).parquet(os.path.join(self.path, "postings"))
+        self.docs = self.spark.read.parquet(os.path.join(self.path, "docs")).select(
+            "doc_id", "url", "dl", "ld"
+        )
+        self.lexicon = self.spark.read.parquet(os.path.join(self.path, "lexicon"))
+        self.meta = json.load(
+            open(os.path.join(self.path, "_manifests", "meta.json"))
+        )
+
+
+def _decode_blocks(batches):
+    """mapInPandas kernel: posting blocks → (term, doc_id, tf) rows.
+    numpy-vectorized; Python touches blocks, not postings."""
+    for pdf in batches:
+        terms_out: list[np.ndarray] = []
+        docs_out: list[np.ndarray] = []
+        tfs_out: list[np.ndarray] = []
+        for term, dvb, tvb in zip(pdf["term"], pdf["docs_vb"], pdf["tfs_vb"]):
+            d = decode_sorted(bytes(dvb))
+            t = vb_decode(bytes(tvb)).astype(np.int64)
+            terms_out.append(np.repeat(np.array([term], dtype=object), len(d)))
+            docs_out.append(d)
+            tfs_out.append(t)
+        if terms_out:
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms_out),
+                    "doc_id": np.concatenate(docs_out),
+                    "tf": np.concatenate(tfs_out),
+                }
+            )
+
+
+def decoded_postings(idx: IndexHandle, terms: list[str]) -> DataFrame:
+    """Bucket-pruned scan (parquet row-group min/max on the term-sorted
+    files is the 'vocab binary search' analogue, SURVEY §4) + decode."""
+    blocks = idx.postings.filter(F.col("term").isin(list(set(terms)))).select(
+        "term", "docs_vb", "tfs_vb"
+    )
+    return blocks.mapInPandas(
+        _decode_blocks, schema="term string, doc_id long, tf long"
+    )
+
+
+def query_weights(
+    idx: IndexHandle, terms: list[str], scorer: str
+) -> list[tuple[str, float]]:
+    """Per-term wqt, multiplied by query-term multiplicity."""
+    n = float(self_n(idx))
+    mult = Counter(terms)
+    rows = (
+        idx.lexicon.filter(F.col("term").isin(list(mult))).select("term", "df").collect()
+    )
+    out = []
+    for r in rows:
+        df = float(r["df"])
+        if scorer == "tfidf_ref":
+            wqt = math.log(1.0 + n / df)
+        elif scorer == "bm25":
+            wqt = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        else:
+            raise ValueError(scorer)
+        out.append((r["term"], wqt * mult[r["term"]]))
+    return out
+
+
+def self_n(idx: IndexHandle) -> int:
+    return int(idx.meta["n_docs"])
+
+
+def ranked_topk(
+    idx: IndexHandle,
+    query: str,
+    k: int = 20,
+    scorer: str = "tfidf_ref",
+) -> DataFrame:
+    """Full-evaluation ranked retrieval → DataFrame
+    (doc_id, url, score) with deterministic (score desc, doc_id asc) top-k."""
+    spark = idx.spark
+    terms = expand_ranked_query(query)
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, url string, score double")
+    qw = query_weights(idx, terms, scorer)
+    if not qw:
+        return spark.createDataFrame([], "doc_id long, url string, score double")
+    qw_df = F.broadcast(
+        spark.createDataFrame(qw, "term string, wqt double")
+    )
+    cand = decoded_postings(idx, [t for t, _ in qw]).join(qw_df, "term")
+    if scorer == "tfidf_ref":
+        partial = (F.lit(1.0) + F.log(F.col("tf").cast("double"))) * F.col("wqt")
+        scored = (
+            cand.select("doc_id", partial.alias("partial"))
+            .groupBy("doc_id")
+            .agg(F.sum("partial").alias("acc"))
+            .join(idx.docs, "doc_id")
+            .select(
+                "doc_id", "url", (F.col("acc") / F.col("ld")).alias("score")
+            )
+        )
+    else:  # bm25
+        avgdl = float(idx.meta["avgdl"])
+        cand = cand.join(idx.docs.select("doc_id", "url", "dl"), "doc_id")
+        tf = F.col("tf").cast("double")
+        norm = F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
+        )
+        partial = F.col("wqt") * tf * F.lit(BM25_K1 + 1.0) / (tf + norm)
+        scored = (
+            cand.select("doc_id", "url", partial.alias("partial"))
+            .groupBy("doc_id", "url")
+            .agg(F.sum("partial").alias("score"))
+        )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,62 @@
+"""Rank-identity gate (SURVEY §7.6): Spark engine top-k vs the NumPy
+oracle of the reference scoring, both scorers, on the 300-page corpus."""
+
+import pytest
+
+from searchengine_spark.oracle.refmodel import (
+    assert_rank_identical,
+    ranked_topk_oracle,
+)
+from searchengine_spark.query.exec import IndexHandle, expand_ranked_query, ranked_topk
+
+QUERIES = [
+    "the",
+    "fast data",
+    "spark stream window",
+    "state-of",
+    "vanilla-shake",
+    "don't",
+    "o'neill customer",
+    "zzzzabsent",
+    "zzzzabsent table",
+    "running runs ran",
+    "caresses ponies",
+    "the the",  # duplicate terms accumulate twice
+    "snake_case",
+    "NASA mccarthy",
+    "b2b 42",
+    "ice-cream-cone",
+    "",
+    "   ",
+    "merge sort join hash scan filter group order",
+]
+
+
+@pytest.fixture(scope="module")
+def handle(spark, built_index):
+    return IndexHandle(spark, built_index)
+
+
+def test_expand_matches_reference_shape():
+    # hyphen: prefix, suffix, concat — in that order (RankedQueryParser.java:73-116)
+    assert expand_ranked_query("state-of") == ["state", "of", "stateof"]
+    assert expand_ranked_query("Don't STOP") == ["dont", "stop"]
+    assert expand_ranked_query("a--b") == ["a", "b", "ab"]
+    assert expand_ranked_query("") == []
+
+
+@pytest.mark.parametrize("scorer", ["tfidf_ref", "bm25"])
+@pytest.mark.parametrize("q", QUERIES)
+def test_rank_identity(handle, oracle_index, q, scorer):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in ranked_topk(handle, q, k=20, scorer=scorer).collect()
+    ]
+    want = ranked_topk_oracle(oracle_index, q, k=20, scorer=scorer)
+    assert_rank_identical(got, want, rel_tol=1e-9)
+
+
+def test_topk_is_take_ordered(handle):
+    """The top-k must compile to TakeOrderedAndProject, not a global sort."""
+    plan = ranked_topk(handle, "fast data", k=20)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
