@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: full reference-faithful pipeline (tokenize →
+                     inverted index build → BM25 ranked top-k) over
+                     /root/testdata/sf0.001 documents.
+``queries()``      — operator inventory, one callable per implemented op
+                     (SURVEY.md §2 + training-data extensions). These use
+                     simple SQL-expressible tokenization (lower + split on
+                     ' ') so every result has an exact DuckDB oracle; the
+                     reference-faithful pipeline (stemming, hyphen
+                     expansion, positions) is separately golden-tested in
+                     tests/ against the actual Java engine's output.
+``oracle_sql()``   — the matching ANSI SQL per query.
+
+Column-name discipline: every computed column is aliased identically on
+both sides (driver hash-compares after sorting columns by name). Float
+scores are rounded to 6 digits on both sides to absorb float64
+sum-order differences.
 """
 
 from __future__ import annotations
@@ -12,27 +23,450 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# --------------------------------------------------------------------------
+# shared fragments
+# --------------------------------------------------------------------------
+
+BM25_K1, BM25_B = 1.2, 0.75
+_Q_TERMS = ["spark", "merge", "window"]  # fixed benchmark query
+_STOPWORDS = ["the", "a"]
+
+# one row per (doc_id, term): simple tokenization, SQL-mirrorable
+_TOKENS_SQL = (
+    "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term "
+    "FROM documents"
+)
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------------
+# entry: flagship end-to-end on the real engine
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Build the reference-faithful inverted index over sf0.001 documents
+    (as a pages-shaped corpus) in a temp dir, then answer a ranked BM25
+    top-20 — the full tokenize → index → rank pipeline of SURVEY §3."""
+    import tempfile
+
+    from searchengine_spark.index.build import IndexBuilder
+    from searchengine_spark.query.exec import IndexHandle, ranked_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.format_string("%08d", "doc_id")).alias("url"),
+        F.current_timestamp().alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+    out = tempfile.mkdtemp(prefix="flagship_index_")
+    IndexBuilder(spark, out, bucket_docs=256).build(pages)
+    idx = IndexHandle(spark, out)
+    return ranked_topk(idx, "fast key order table", k=20, scorer="bm25")
+
+
+# --------------------------------------------------------------------------
+# queries (Spark side)
+# --------------------------------------------------------------------------
+
+def _q_term_stats(spark, sf):
+    n = _docs(spark, sf).count()
+    return (
+        _tokens(spark, sf)
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+            F.round(F.log(F.lit(1.0) + F.lit(float(n)) / F.countDistinct("doc_id")), 6).alias("wqt"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def _q_doc_lengths(spark, sf):
+    tf = (
+        _tokens(spark, sf)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("dl"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                F.sqrt(F.sum(F.pow(F.lit(1.0) + F.log("tf"), F.lit(2.0)))), 6
+            ).alias("ld"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _scored_tf(spark, sf):
+    toks = _tokens(spark, sf).filter(F.col("term").isin(_Q_TERMS))
+    return toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def _q_tfidf_topk(spark, sf):
+    n = float(_docs(spark, sf).count())
+    tf = _scored_tf(spark, sf)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ld = (
+        _tokens(spark, sf)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum(F.pow(F.lit(1.0) + F.log("tf"), F.lit(2.0)))).alias("ld"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .withColumn(
+            "partial",
+            (F.lit(1.0) + F.log("tf")) * F.log(F.lit(1.0) + F.lit(n) / F.col("df")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("acc"))
+        .join(ld, "doc_id")
+        .select("doc_id", F.round(F.col("acc") / F.col("ld"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def _q_bm25_topk(spark, sf):
+    n = float(_docs(spark, sf).count())
+    tf = _scored_tf(spark, sf)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = _tokens(spark, sf).groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    idf = F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "partial",
+            idf
+            * (F.col("tf") * (BM25_K1 + 1.0))
+            / (
+                F.col("tf")
+                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(float(avgdl)))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def _docs_with(spark, sf, term):
+    return (
+        _tokens(spark, sf).filter(F.col("term") == term).select("doc_id").distinct()
+    )
+
+
+def _q_boolean_and(spark, sf):
+    a = _docs_with(spark, sf, "spark")
+    b = _docs_with(spark, sf, "merge")
+    return a.join(b, "doc_id", "inner").orderBy("doc_id")
+
+
+def _q_boolean_or(spark, sf):
+    a = _docs_with(spark, sf, "spark")
+    b = _docs_with(spark, sf, "vector")
+    return a.union(b).distinct().orderBy("doc_id")
+
+
+def _q_boolean_andnot(spark, sf):
+    a = _docs_with(spark, sf, "spark")
+    b = _docs_with(spark, sf, "slow")
+    return a.join(b, "doc_id", "left_anti").orderBy("doc_id")
+
+
+def _q_phrase(spark, sf):
+    """Adjacent-position phrase 'batch batch' via token positions."""
+    docs = _docs(spark, sf)
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    hit = F.exists(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda i: (F.element_at(toks, i) == "batch")
+            & (F.element_at(toks, i + 1) == "batch"),
+        ),
+        lambda x: x,
+    )
+    return docs.select("doc_id").where(hit).orderBy("doc_id")
+
+
+def _q_dedup_exact(spark, sf):
+    return (
+        _docs(spark, sf)
+        .groupBy(F.md5(F.lower("text")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc"))
+        .orderBy("text_hash")
+    )
+
+
+def _shingles(spark, sf):
+    """Distinct 3-token shingles per doc (SQL-mirrorable)."""
+    docs = _docs(spark, sf)
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def _q_jaccard_pairs(spark, sf):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.5) via
+    shared-shingle self-join — the quadratic-safe exact baseline."""
+    sh = _shingles(spark, sf)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+_MINHASH_K = 8
+
+
+def _q_minhash_signatures(spark, sf):
+    """Portable MinHash: h_i(s) = int64(first 15 hex of md5(i||' '||s));
+    signature = per-doc min per i. LSH banding pairs are derived from
+    these signatures (band = 2 rows)."""
+    sh = _shingles(spark, sf)
+    sigs = None
+    cols = []
+    for i in range(_MINHASH_K):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i} "), F.col("shingle"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        cols.append(F.min(h).alias(f"mh{i}"))
+    return sh.groupBy("doc_id").agg(*cols).orderBy("doc_id")
+
+
+def _q_cosine_topk(spark, sf):
+    """Brute-force cosine top-k neighbours of vec_id 0 (ANN baseline)."""
+    e = _emb(spark, sf).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(dot / (nrm(F.col("v")) * nrm(F.col("qv"))), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _q_lang_stats(spark, sf):
+    return (
+        _docs(spark, sf)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q_quality_scores(spark, sf):
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS)))
+    d = _docs(spark, sf).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        stop_hits.alias("n_stop"),
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+        F.round(F.col("n_stop") / F.col("n_tokens"), 6).alias("stopword_ratio"),
+    ).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "term_stats": _q_term_stats,
+        "doc_lengths": _q_doc_lengths,
+        "tfidf_topk": _q_tfidf_topk,
+        "bm25_topk": _q_bm25_topk,
+        "boolean_and": _q_boolean_and,
+        "boolean_or": _q_boolean_or,
+        "boolean_andnot": _q_boolean_andnot,
+        "phrase_adjacent": _q_phrase,
+        "dedup_exact": _q_dedup_exact,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_signatures": _q_minhash_signatures,
+        "cosine_topk": _q_cosine_topk,
+        "lang_stats": _q_lang_stats,
+        "quality_scores": _q_quality_scores,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tokens = _TOKENS_SQL + " WHERE text IS NOT NULL"
+    toks = f"(SELECT doc_id, term FROM ({tokens}) WHERE term <> '')"
+    tf_all = f"(SELECT doc_id, term, count(*) AS tf FROM {toks} t GROUP BY doc_id, term)"
+    qterms = ",".join(f"'{t}'" for t in _Q_TERMS)
+    n_docs = "(SELECT count(*) FROM documents)"
+    ld = (
+        f"(SELECT doc_id, sqrt(sum(pow(1.0 + ln(tf), 2.0))) AS ld FROM {tf_all} GROUP BY doc_id)"
+    )
+    shingles = (
+        "(SELECT DISTINCT doc_id, concat_ws(' ', t1, t2, t3) AS shingle FROM ("
+        "  SELECT doc_id, toks[i] AS t1, toks[i+1] AS t2, toks[i+2] AS t3"
+        "  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks FROM documents),"
+        "       LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i)"
+        ") WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL)"
+    )
+    mh_cols = ",".join(
+        f"min(CAST(('0x' || substr(md5('{i} ' || shingle), 1, 15)) AS BIGINT)) AS mh{i}"
+        for i in range(_MINHASH_K)
+    )
+    return {
+        "term_stats": f"""
+            SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf,
+                   round(ln(1.0 + {n_docs} * 1.0 / count(DISTINCT doc_id)), 6) AS wqt
+            FROM {toks} t GROUP BY term
+            ORDER BY df DESC, term ASC LIMIT 50""",
+        "doc_lengths": f"""
+            SELECT doc_id, sum(tf) AS dl, count(*) AS n_terms,
+                   round(sqrt(sum(pow(1.0 + ln(tf), 2.0))), 6) AS ld
+            FROM {tf_all} GROUP BY doc_id ORDER BY doc_id""",
+        "tfidf_topk": f"""
+            WITH tf AS (SELECT * FROM {tf_all} WHERE term IN ({qterms})),
+                 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+                 acc AS (
+                   SELECT tf.doc_id, sum((1.0 + ln(tf.tf)) * ln(1.0 + {n_docs} * 1.0 / df.df)) AS acc
+                   FROM tf JOIN df USING (term) GROUP BY tf.doc_id)
+            SELECT acc.doc_id AS doc_id, round(acc.acc / ld.ld, 6) AS score
+            FROM acc JOIN {ld} ld ON acc.doc_id = ld.doc_id
+            ORDER BY score DESC, acc.doc_id ASC LIMIT 20""",
+        "bm25_topk": f"""
+            WITH tf AS (SELECT * FROM {tf_all} WHERE term IN ({qterms})),
+                 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+                 dl AS (SELECT doc_id, count(*) AS dl FROM {toks} t GROUP BY doc_id),
+                 avgdl AS (SELECT avg(dl) AS avgdl FROM dl)
+            SELECT tf.doc_id AS doc_id,
+                   round(sum(ln(({n_docs} - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                         * (tf.tf * ({BM25_K1} + 1.0))
+                         / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / avgdl.avgdl))), 6) AS score
+            FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, avgdl
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, tf.doc_id ASC LIMIT 20""",
+        "boolean_and": f"""
+            SELECT DISTINCT a.doc_id FROM {toks} a JOIN {toks} b USING (doc_id)
+            WHERE a.term = 'spark' AND b.term = 'merge' ORDER BY doc_id""",
+        "boolean_or": f"""
+            SELECT DISTINCT doc_id FROM {toks} t
+            WHERE term IN ('spark', 'vector') ORDER BY doc_id""",
+        "boolean_andnot": f"""
+            SELECT DISTINCT doc_id FROM {toks} a
+            WHERE term = 'spark' AND doc_id NOT IN (
+              SELECT doc_id FROM {toks} b WHERE term = 'slow')
+            ORDER BY doc_id""",
+        "phrase_adjacent": """
+            SELECT doc_id FROM (
+              SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents)
+            WHERE len(list_filter(generate_series(1, greatest(len(toks) - 1, 0)),
+                      i -> toks[i] = 'batch' AND toks[i+1] = 'batch')) > 0
+            ORDER BY doc_id""",
+        "dedup_exact": """
+            SELECT md5(lower(text)) AS text_hash, count(*) AS n, min(doc_id) AS keep_doc
+            FROM documents GROUP BY 1 ORDER BY text_hash""",
+        "jaccard_pairs": f"""
+            WITH sh AS (SELECT * FROM {shingles}),
+                 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+                 pairs AS (
+                   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+            ORDER BY doc_a, doc_b""",
+        "minhash_signatures": f"""
+            SELECT doc_id, {mh_cols} FROM {shingles} sh GROUP BY doc_id ORDER BY doc_id""",
+        "cosine_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+            FROM e, q WHERE vec_id <> 0
+            ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+        "lang_stats": """
+            SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "quality_scores": """
+            SELECT doc_id, len(toks) AS n_tokens,
+                   round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_ratio,
+                   round(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks), 6) AS stopword_ratio
+            FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+                  FROM documents)
+            ORDER BY doc_id""",
+    }

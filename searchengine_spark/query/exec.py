@@ -184,3 +184,82 @@ def ranked_topk(
             .agg(F.sum("partial").alias("score"))
         )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def ranked_topk_batch(
+    idx: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 20,
+    scorer: str = "tfidf_ref",
+) -> DataFrame:
+    """Evaluate MANY ranked queries in ONE Spark job (the analogue of the
+    reference's batch harness, Milestone3/SimulateQueryRun.java:33-87, and
+    the throughput-bench path): queries become a small broadcast dim
+    (qid, term, wqt), postings for the union of terms are decoded once,
+    scores aggregate per (qid, doc_id), and a per-qid window takes top-k.
+
+    Scale shape: one bucket-pruned scan regardless of query count; the
+    window partitions by qid (thousands of tiny partitions), never by
+    term, so stopword skew can't concentrate in one task."""
+    spark = idx.spark
+    n = float(self_n(idx))
+    per_q: dict[int, Counter] = {qid: Counter(expand_ranked_query(q)) for qid, q in queries}
+    all_terms = sorted({t for c in per_q.values() for t in c})
+    if not all_terms:
+        return spark.createDataFrame(
+            [], "qid int, rank int, doc_id long, url string, score double"
+        )
+    dfs = {
+        r["term"]: float(r["df"])
+        for r in idx.lexicon.filter(F.col("term").isin(all_terms))
+        .select("term", "df")
+        .collect()
+    }
+    rows = []
+    for qid, cnt in per_q.items():
+        for t, mult in cnt.items():
+            df = dfs.get(t)
+            if not df:
+                continue
+            if scorer == "tfidf_ref":
+                wqt = math.log(1.0 + n / df)
+            else:
+                wqt = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            rows.append((qid, t, wqt * mult))
+    if not rows:
+        return spark.createDataFrame(
+            [], "qid int, rank int, doc_id long, url string, score double"
+        )
+    qdim = F.broadcast(spark.createDataFrame(rows, "qid int, term string, wqt double"))
+    live_terms = sorted({t for _, t, _ in rows})
+    cand = decoded_postings(idx, live_terms).join(qdim, "term")
+    if scorer == "tfidf_ref":
+        partial = (F.lit(1.0) + F.log(F.col("tf").cast("double"))) * F.col("wqt")
+        scored = (
+            cand.select("qid", "doc_id", partial.alias("partial"))
+            .groupBy("qid", "doc_id")
+            .agg(F.sum("partial").alias("acc"))
+            .join(idx.docs.select("doc_id", "url", "ld"), "doc_id")
+            .select("qid", "doc_id", "url", (F.col("acc") / F.col("ld")).alias("score"))
+        )
+    else:
+        avgdl = float(idx.meta["avgdl"])
+        tf = F.col("tf").cast("double")
+        norm = F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
+        )
+        partial = F.col("wqt") * tf * F.lit(BM25_K1 + 1.0) / (tf + norm)
+        scored = (
+            cand.join(idx.docs.select("doc_id", "url", "dl"), "doc_id")
+            .select("qid", "doc_id", "url", partial.alias("partial"))
+            .groupBy("qid", "doc_id", "url")
+            .agg(F.sum("partial").alias("score"))
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "url", "score")
+    )

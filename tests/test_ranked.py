@@ -60,3 +60,17 @@ def test_topk_is_take_ordered(handle):
     """The top-k must compile to TakeOrderedAndProject, not a global sort."""
     plan = ranked_topk(handle, "fast data", k=20)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_batch_matches_sequential(handle, oracle_index):
+    from searchengine_spark.query.exec import ranked_topk_batch
+
+    qs = [(0, "fast data"), (1, "state-of"), (2, "zzzzabsent"), (3, "the the")]
+    batch = ranked_topk_batch(handle, qs, k=20, scorer="tfidf_ref").collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in qs:
+        want = ranked_topk_oracle(oracle_index, q, k=20, scorer="tfidf_ref")
+        got = sorted(by_qid.get(qid, []))
+        assert_rank_identical([(d, s) for _, d, s in got], want, rel_tol=1e-9)
