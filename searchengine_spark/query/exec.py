@@ -114,6 +114,46 @@ def decoded_postings(idx: IndexHandle, terms: list[str]) -> DataFrame:
     )
 
 
+def _decode_blocks_with_positions(batches):
+    """mapInPandas kernel: posting blocks → (term, doc_id, tf, positions)
+    rows — the 'getPostingsWithPositions' path
+    (DiskInvertedIndex.java:93-126): positions materialized only here,
+    ranked scoring never pays for them (lazy position decode, SURVEY §4)."""
+    from ..index.varbyte import decode_position_lists
+
+    for pdf in batches:
+        rows_t, rows_d, rows_tf, rows_p = [], [], [], []
+        for term, dvb, tvb, pvb in zip(
+            pdf["term"], pdf["docs_vb"], pdf["tfs_vb"], pdf["pos_vb"]
+        ):
+            d = decode_sorted(bytes(dvb))
+            t = vb_decode(bytes(tvb)).astype(np.int64)
+            plists = decode_position_lists(bytes(pvb), t)
+            rows_t.append(np.repeat(np.array([term], dtype=object), len(d)))
+            rows_d.append(d)
+            rows_tf.append(t)
+            rows_p.extend(p.astype(np.int32).tolist() for p in plists)
+        if rows_t:
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(rows_t),
+                    "doc_id": np.concatenate(rows_d),
+                    "tf": np.concatenate(rows_tf),
+                    "positions": pd.Series(rows_p, dtype=object),
+                }
+            )
+
+
+def decoded_postings_with_positions(idx: IndexHandle, terms: list[str]) -> DataFrame:
+    blocks = idx.postings.filter(F.col("term").isin(list(set(terms)))).select(
+        "term", "docs_vb", "tfs_vb", "pos_vb"
+    )
+    return blocks.mapInPandas(
+        _decode_blocks_with_positions,
+        schema="term string, doc_id long, tf long, positions array<int>",
+    )
+
+
 def query_weights(
     idx: IndexHandle, terms: list[str], scorer: str
 ) -> list[tuple[str, float]]:
