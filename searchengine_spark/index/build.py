@@ -151,10 +151,12 @@ def build_postings_for_docs(
     dt = docs_tokenized.select(
         "doc_id",
         "dl",
+        "ld",
         F.explode("terms").alias("t"),
     ).select(
         "doc_id",
         "dl",
+        "ld",
         F.col("t.term").alias("term"),
         F.col("t.tf").alias("tf"),
         F.col("t.positions").alias("positions"),
@@ -170,6 +172,9 @@ def build_postings_for_docs(
         F.sum("tf").alias("cf_b"),
         F.max("tf").alias("max_tf"),
         F.min("dl").alias("min_dl"),
+        # block-min Ld: upper-bounds the tfidf_ref score of any doc in the
+        # block (score = acc/Ld), the tf-idf analogue of BM25's min_dl
+        F.min("ld").alias("min_ld"),
         F.min("doc_id").alias("doc_first"),
         F.max("doc_id").alias("doc_last"),
     )
@@ -181,6 +186,7 @@ def build_postings_for_docs(
         "cf_b",
         "max_tf",
         "min_dl",
+        "min_ld",
         "doc_first",
         "doc_last",
         F.expr("transform(plist, x -> x.doc_id)").alias("d_arr"),
@@ -197,6 +203,7 @@ def build_postings_for_docs(
         "cf_b",
         "max_tf",
         "min_dl",
+        "min_ld",
         "doc_first",
         "doc_last",
         # block-max metadata for WAND (1+ln is monotone in tf, so the
@@ -282,7 +289,7 @@ class IndexBuilder:
             lo, hi = c * chunk, min((c + 1) * chunk, n_docs)
             part = docs_full.filter(
                 (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-            ).select("doc_id", "dl", "terms")
+            ).select("doc_id", "dl", "ld", "terms")
             post = build_postings_for_docs(part, self.bucket_docs)
             post = post.repartition(
                 max(self.spark.sparkContext.defaultParallelism, 4), "term"

@@ -1,0 +1,141 @@
+"""3-tier impact-ordered index variant (SURVEY §2.1 S7, §2.5 K3/K5).
+
+A post-pass over the flat block index: per term, postings are ranked by
+wdt = 1+ln(tf) and split into disjoint tiers of ⌈n/10⌉ / ⌈n/3⌉ / rest —
+bit-faithful to the reference's PriorityQueue pops
+(``TieredIndexWriter.java:91-208``, heap replay in
+:mod:`searchengine_spark.index.javapq`) — then re-blocked as
+``(term, tier, bucket)`` rows, so tier pruning composes with the
+bucket/doc-range layout.
+
+SCALE CAVEAT (documented, deliberate): exact tier membership is defined
+by per-term GLOBAL heap order, including tie order — inherently a
+per-term gather. ``groupBy(term).applyInPandas`` therefore concentrates a
+stopword's full (doc_id, tf, positions) list in one task; this mode
+exists for rank-identity with the reference's ACTIVE configuration and
+is intended for reference-scale corpora. The 10^12-doc serving path is
+block-max WAND over the flat index (query/wand.py), whose pruning is
+exact rather than the tier heuristic's lossy fall-through.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import _encode_block
+from .javapq import assign_tiers
+
+TIER_SCHEMA = (
+    "term string, tier int, doc_id long, tf long, positions array<int>"
+)
+
+
+def _assign_tiers_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One pandas group per term: docID order in, tier labels out."""
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    out = []
+    for term, g in pdf.groupby("term", sort=False):
+        tiers = assign_tiers(g["doc_id"].to_numpy(), g["tf"].to_numpy())
+        out.append(
+            pd.DataFrame(
+                {
+                    "term": g["term"],
+                    "tier": np.asarray(tiers, dtype=np.int32),
+                    "doc_id": g["doc_id"],
+                    "tf": g["tf"],
+                    "positions": g["positions"],
+                }
+            )
+        )
+    return pd.concat(out) if out else pdf.head(0).assign(tier=np.int32(0))
+
+
+def build_tiered(
+    spark: SparkSession, idx_dir: str, bucket_docs: int | None = None
+) -> dict:
+    """Derive postings_tiered + lexicon_tiered from a built flat index.
+    Resumable: skipped when the manifest already exists."""
+    from ..query.exec import IndexHandle, decoded_postings_with_positions
+
+    man = os.path.join(idx_dir, "_manifests", "tiered.json")
+    if os.path.exists(man):
+        return json.load(open(man))
+    t0 = time.time()
+    idx = IndexHandle(spark, idx_dir)
+    if bucket_docs is None:
+        bucket_docs = int(idx.meta.get("bucket_docs", 1 << 17))
+    all_terms = [r["term"] for r in idx.lexicon.select("term").collect()]
+    decoded = decoded_postings_with_positions(idx, all_terms)
+    tiered = decoded.groupBy("term").applyInPandas(
+        lambda pdf: _assign_tiers_fn(pdf), schema=TIER_SCHEMA
+    )
+    tiered = tiered.withColumn(
+        "bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("int")
+    )
+    grouped = (
+        tiered.groupBy("term", "tier", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "positions"))
+            ).alias("plist"),
+            F.count(F.lit(1)).cast("int").alias("df_b"),
+        )
+        .select(
+            "term",
+            "tier",
+            "bucket",
+            "df_b",
+            F.expr("transform(plist, x -> x.doc_id)").alias("d_arr"),
+            F.expr("transform(plist, x -> x.tf)").alias("t_arr"),
+            F.expr("transform(plist, x -> x.positions)").alias("p_arr"),
+        )
+    )
+    enc = grouped.withColumn(
+        "enc", _encode_block(F.col("d_arr"), F.col("t_arr"), F.col("p_arr"))
+    ).select(
+        "term",
+        "tier",
+        "bucket",
+        "df_b",
+        F.col("enc.docs_vb").alias("docs_vb"),
+        F.col("enc.tfs_vb").alias("tfs_vb"),
+        F.col("enc.pos_vb").alias("pos_vb"),
+    )
+    out_dir = os.path.join(idx_dir, "postings_tiered")
+    enc.repartition(
+        max(spark.sparkContext.defaultParallelism, 4), "term"
+    ).sortWithinPartitions("term", "tier", "bucket").write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+
+    written = spark.read.parquet(out_dir)
+    lex = (
+        written.groupBy("term", "tier")
+        .agg(F.sum("df_b").cast("long").alias("df_tier"))
+    )
+    w_total = lex.groupBy("term").agg(F.sum("df_tier").alias("df_total"))
+    lex.join(w_total, "term").write.mode("overwrite").parquet(
+        os.path.join(idx_dir, "lexicon_tiered")
+    )
+    payload = {
+        "stage": "tiered",
+        "bucket_docs": bucket_docs,
+        "elapsed_sec": time.time() - t0,
+        "tiers": {
+            str(r["tier"]): int(r["n"])
+            for r in written.groupBy("tier").agg(F.sum("df_b").alias("n")).collect()
+        },
+        "lineage": {"source": "postings", "heap": "java.util.PriorityQueue replay"},
+    }
+    tmp = man + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, man)
+    return payload

@@ -86,6 +86,56 @@ def ranked_topk_oracle(
     return ranked[:k]
 
 
+def _tier_lists(oidx: OracleIndex) -> dict:
+    """term → {tier: [(doc_id, tf)...] docID-sorted} via the exact heap
+    replay (TieredIndexWriter.java:91-208); cached on the index."""
+    cached = getattr(oidx, "_tiers", None)
+    if cached is not None:
+        return cached
+    from ..index.javapq import assign_tiers
+
+    tiers: dict = {}
+    for term, plist in oidx.index.items():
+        doc_ids = [d for d, _ in plist]
+        tfs = [len(ps) for _, ps in plist]
+        labels = assign_tiers(doc_ids, tfs)
+        per: dict[int, list] = {}
+        for (d, ps), t in zip(plist, labels):
+            per.setdefault(t, []).append((d, len(ps)))
+        tiers[term] = per  # docID order preserved within each tier
+    oidx._tiers = tiers
+    return tiers
+
+
+def tiered_ranked_topk_oracle(
+    oidx: OracleIndex, query: str, k: int = 20
+) -> list[tuple[int, float]]:
+    """Reference tiered ranked retrieval with tier fall-through
+    (TieredRankedQueryParser.java:62-152), float64 accumulation in the
+    exact fetched-postings order (tier 1 docs, then tier 2, then 3)."""
+    terms = expand_ranked_query(query)
+    tiers = _tier_lists(oidx)
+    n = float(oidx.n_docs)
+    acc: dict[int, float] = {}
+    for term in terms:
+        per = tiers.get(term)
+        if not per or 1 not in per:
+            continue
+        fetched = list(per[1])
+        if len(per[1]) < 20 and 2 in per:  # retrivePostings, :147-150
+            fetched += per[2]
+            if len(per[2]) < 20 - len(per[1]) and 3 in per:
+                fetched += per[3]
+        df_total = float(sum(len(v) for v in per.values()))
+        wqt = math.log(1.0 + n / df_total)
+        for doc_id, tf in fetched:
+            acc[doc_id] = acc.get(doc_id, 0.0) + (1.0 + math.log(tf)) * wqt
+    for d in list(acc):
+        acc[d] = acc[d] / oidx.ld[d]
+    ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
 def assert_rank_identical(
     engine: list[tuple[int, float]],
     oracle: list[tuple[int, float]],

@@ -1,0 +1,102 @@
+"""Tiered index variant: structure invariants + rank identity of the
+tier-fall-through query path vs the oracle (which is itself differentially
+verified bit-exact against the Java TieredRankedQueryParser by
+tools/refgold/diffcheck.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.index.javapq import JavaPriorityQueue, assign_tiers
+from searchengine_spark.index.tiered import build_tiered
+from searchengine_spark.oracle.refmodel import (
+    assert_rank_identical,
+    tiered_ranked_topk_oracle,
+)
+from searchengine_spark.query.tiered import (
+    TieredIndexHandle,
+    select_tiers,
+    tiered_ranked_topk,
+)
+
+QUERIES = [
+    "the",
+    "fast data",
+    "spark stream window",
+    "state-of",
+    "zzzzabsent table",
+    "the the",
+    "merge sort join hash scan filter group order",
+    "vanilla-shake customer",
+]
+
+
+@pytest.fixture(scope="module")
+def thandle(spark, built_index):
+    build_tiered(spark, built_index, bucket_docs=64)
+    return TieredIndexHandle(spark, built_index)
+
+
+def test_javapq_matches_sorted_for_distinct():
+    pq = JavaPriorityQueue(lambda a, b: (a > b) - (a < b))
+    pq.add_all([5, 1, 4, 2, 3])
+    assert [pq.poll() for _ in range(5)] == [1, 2, 3, 4, 5]
+
+
+def test_assign_tiers_sizes():
+    # 20 postings → tier1 ⌈20/10⌉=2, tier2 ⌈20/3⌉=7, tier3 11
+    tfs = list(range(1, 21))
+    tiers = assign_tiers(list(range(20)), tfs)
+    assert sorted(tiers).count(1) == 2
+    assert sorted(tiers).count(2) == 7
+    assert sorted(tiers).count(3) == 11
+    # highest tf postings land in tier 1
+    top = {i for i, t in enumerate(tiers) if t == 1}
+    assert top == {18, 19}
+
+
+def test_select_tiers_fallthrough():
+    assert select_tiers({1: 25, 2: 60, 3: 100}) == [1]
+    assert select_tiers({1: 5, 2: 60, 3: 100}) == [1, 2]
+    assert select_tiers({1: 5, 2: 10, 3: 100}) == [1, 2, 3]
+    assert select_tiers({1: 5, 2: 15, 3: 100}) == [1, 2]  # 15 >= 20-5
+    assert select_tiers({1: 3}) == [1]
+    assert select_tiers({}) == []
+
+
+def test_tier_structure_invariants(thandle, oracle_index):
+    lex = thandle.lexicon_tiered.collect()
+    by_term = {}
+    for r in lex:
+        by_term.setdefault(r["term"], {})[r["tier"]] = int(r["df_tier"])
+    flat = {t: len(pl) for t, pl in oracle_index.index.items()}
+    assert set(by_term) == set(flat)
+    for t, per in by_term.items():
+        n = flat[t]
+        assert sum(per.values()) == n, t
+        assert per[1] == math.ceil(n / 10), t
+        if n > math.ceil(n / 10):
+            assert per.get(2, 0) == min(math.ceil(n / 3), n - per[1]), t
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_tiered_rank_identity(thandle, oracle_index, q):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in tiered_ranked_topk(thandle, q, k=20).collect()
+    ]
+    want = tiered_ranked_topk_oracle(oracle_index, q, k=20)
+    assert_rank_identical(got, want, rel_tol=1e-9)
+
+
+def test_tiered_truncates_vs_full(thandle, oracle_index):
+    """Sanity: the fall-through really is lossy for a frequent term —
+    fewer docs scored than full evaluation when tier 1 alone has ≥20."""
+    per = {r["tier"]: int(r["df_tier"])
+           for r in thandle.lexicon_tiered.filter(F.col("term") == "the").collect()}
+    total = sum(per.values())
+    assert total > 20 and per[1] >= 2  # corpus makes 'the' frequent
+    scored = len(tiered_ranked_topk_oracle(oracle_index, "the", k=1 << 30))
+    if per[1] >= 20:
+        assert scored == per[1] < total

@@ -49,6 +49,7 @@ public class GoldGen {
                 case "index": dumpIndex(args[1], args[2]); break;
                 case "bool": boolQueries(args[1], args[2], args[3]); break;
                 case "ranked": rankedQueries(args[1], args[2], args[3]); break;
+                case "tranked": tieredRankedQueries(args[1], args[2], args[3]); break;
                 default: throw new IllegalArgumentException(args[0]);
             }
         } finally {
@@ -150,6 +151,39 @@ public class GoldGen {
             // the UI lowercases+trims before ranked parse (QueryFrame.java:284)
             PriorityQueue<Map.Entry<Integer, Double>> pq =
                 rp.parseQuery(queries.get(qi).toLowerCase().trim(), qi);
+            sb.append("\"q").append(qi).append("\": {");
+            boolean first = true;
+            while (pq != null && !pq.isEmpty()) {
+                Map.Entry<Integer, Double> e = pq.poll();
+                if (!first) sb.append(',');
+                first = false;
+                sb.append(jstr(files.get(e.getKey()))).append(":\"")
+                  .append(Long.toUnsignedString(Double.doubleToLongBits(e.getValue())))
+                  .append('"');
+            }
+            sb.append('}');
+        }
+        sb.append("\n}\n");
+        Files.write(Paths.get(out), sb.toString().getBytes(StandardCharsets.UTF_8));
+    }
+
+    static void tieredRankedQueries(String dir, String queriesFile, String out) throws Exception {
+        // the ACTIVE configuration: TieredIndexWriter + TieredRankedQueryParser
+        // (ModeOptionFrame.java:160-164, QueryFrame.java:287)
+        SimpleEngine se = new SimpleEngine();
+        List<String> files = se.visitAllFiles(Paths.get(dir));
+        new engine.simple.Milestone3.TieredIndexWriter(dir).buildIndex(se.getIndex());
+        QueryFrame.filenames = files.toArray(new String[0]);
+        engine.simple.Milestone3.TieredDiskInvertedIndex tdii =
+            new engine.simple.Milestone3.TieredDiskInvertedIndex(dir);
+        StringBuilder sb = new StringBuilder("{\n");
+        List<String> queries = Files.readAllLines(Paths.get(queriesFile), StandardCharsets.UTF_8);
+        for (int qi = 0; qi < queries.size(); qi++) {
+            if (qi > 0) sb.append(",\n");
+            engine.simple.Milestone3.TieredRankedQueryParser trp =
+                new engine.simple.Milestone3.TieredRankedQueryParser(tdii);
+            PriorityQueue<Map.Entry<Integer, Double>> pq =
+                trp.parseQuery(queries.get(qi).toLowerCase().trim(), qi);
             sb.append("\"q").append(qi).append("\": {");
             boolean first = true;
             while (pq != null && !pq.isEmpty()) {

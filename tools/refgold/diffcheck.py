@@ -193,6 +193,30 @@ def check_bool(work: str, oidx, queries: list[str]) -> int:
     return diffs
 
 
+def check_tranked(work: str, oidx, queries: list[str]) -> int:
+    """Tiered (ACTIVE-config) ranked retrieval: bit-identical scores under
+    tier fall-through, including heap-order tie tier membership."""
+    from searchengine_spark.oracle.refmodel import tiered_ranked_topk_oracle
+
+    qf = os.path.join(work, "tranked_queries.txt")
+    open(qf, "w").write("\n".join(queries) + "\n")
+    goldgen("tranked", os.path.join(work, "docs"), qf, os.path.join(work, "tranked.json"))
+    gold = json.load(open(os.path.join(work, "tranked.json")))
+    diffs = 0
+    for i, q in enumerate(queries):
+        want = gold[f"q{i}"]
+        got = {
+            oidx.urls[d]: bits(s)
+            for d, s in tiered_ranked_topk_oracle(oidx, q, k=1 << 30)
+        }
+        if got != want:
+            only_g = {k: v for k, v in got.items() if want.get(k) != v}
+            only_w = {k: v for k, v in want.items() if got.get(k) != v}
+            print(f"  TRANKED diff on {q!r}: ours={only_g} gold={only_w}")
+            diffs += 1
+    return diffs
+
+
 def check_ranked(work: str, oidx, queries: list[str]) -> int:
     from searchengine_spark.oracle.refmodel import ranked_topk_oracle
 
@@ -244,9 +268,9 @@ def main() -> int:
                     )
                     rng = random.Random(seed * 7 + 1)
                     d += check_bool(work, oidx, gen_bool_queries(rng, docs, args.queries))
-                    d += check_ranked(
-                        work, oidx, gen_ranked_queries(rng, docs, args.queries)
-                    )
+                    rq = gen_ranked_queries(rng, docs, args.queries)
+                    d += check_ranked(work, oidx, rq)
+                    d += check_tranked(work, oidx, rq)
                 label = "ascii" if ascii_only else "unicode"
                 print(f"seed {seed} [{label}]: {'OK' if d == 0 else f'{d} DIFFS'}")
                 total += d
