@@ -313,6 +313,160 @@ def _q_cosine_topk(spark, sf):
     )
 
 
+_SIMHASH_BITS = 16
+
+
+def _q_simhash(spark, sf):
+    """16-bit SimHash per doc from md5-derived term hashes (token
+    multiplicity = weight) — near-dup fingerprinting for dedup at scale."""
+    toks = _tokens(spark, sf)
+    h = F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("bigint")
+    t = toks.select("doc_id", h.alias("h"))
+    sums = t.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{j}")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for j in range(_SIMHASH_BITS):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select("doc_id", fp.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+_LSH_BANDS = 4  # 8 minhashes, bands of 2 rows
+
+
+def _q_lsh_band_pairs(spark, sf):
+    """MinHash-LSH candidate pairs: docs sharing ≥1 of 4 (2-row) bands —
+    the banding stage that makes near-dup detection sub-quadratic."""
+    sigs = _q_minhash_signatures(spark, sf)
+    bands = None
+    for i in range(_LSH_BANDS):
+        b = sigs.select(
+            "doc_id",
+            F.lit(i).alias("band"),
+            F.col(f"mh{2 * i}").alias("h1"),
+            F.col(f"mh{2 * i + 1}").alias("h2"),
+        )
+        bands = b if bands is None else bands.union(b)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "h1", "h2"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_IVF_CELLS = 8
+
+
+def _q_ann_ivf_topk(spark, sf):
+    """IVF-style ANN: coarse 'centroids' = vectors 0..7; every vector is
+    assigned to its nearest centroid (cosine, centroid-id tiebreak) and
+    the query (vec 0) searches only its own cell — the scale path next to
+    the brute-force cosine_topk baseline."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = F.broadcast(
+        e.where(F.col("vec_id") < _IVF_CELLS).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    dot = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+    nrm = lambda c: F.sqrt(dot(c, c))
+    cos_c = dot(F.col("v"), F.col("cv")) / (nrm(F.col("v")) * nrm(F.col("cv")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
+    assign = (
+        e.crossJoin(cents)
+        .select("vec_id", "v", "cid", cos_c.alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("cell"))
+    )
+    q = assign.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    )
+    cand = assign.join(F.broadcast(q), F.col("cell") == F.col("qcell")).where(
+        F.col("vec_id") != 0
+    )
+    cos_q = dot(F.col("v"), F.col("qv")) / (nrm(F.col("v")) * nrm(F.col("qv")))
+    return (
+        cand.select("vec_id", F.round(cos_q, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _q_token_counts(spark, sf):
+    """Token counting: whitespace tokens vs BPE-ish alnum subword pieces
+    + char budget — the per-doc accounting a training pipeline needs."""
+    lt = F.lower("text")
+    ws = F.filter(F.split(lt, " "), lambda x: x != "")
+    sub = F.regexp_extract_all(lt, F.lit("[a-z0-9]+"), 0)
+    alnum_chars = F.length(F.regexp_replace(lt, "[^a-z0-9]", ""))
+    return (
+        _docs(spark, sf)
+        .select(
+            "doc_id",
+            F.size(ws).alias("n_ws_tokens"),
+            F.size(sub).alias("n_subword_tokens"),
+            F.length(lt).alias("n_chars_total"),
+            F.round(alnum_chars / F.size(sub), 6).alias("avg_subword_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_lang_id(spark, sf):
+    """Stopword-ratio language-ID heuristic + agreement with the labeled
+    lang column (quality gate shape for corpus filtering)."""
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    stop_ratio = F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS))) / F.size(toks)
+    d = _docs(spark, sf).select(
+        "doc_id",
+        "lang",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.when(stop_ratio >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias(
+            "predicted_lang"
+        ),
+    )
+    return d.withColumn(
+        "agrees", (F.col("predicted_lang") == F.col("lang")).cast("int")
+    ).orderBy("doc_id")
+
+
+def _q_doc_fingerprint(spark, sf):
+    """Rolling char-8-gram fingerprint: min/max md5-derived gram hash +
+    distinct-gram count (winnowing-style doc identity)."""
+    grams = F.expr(
+        "transform(sequence(1, greatest(char_length(lower(text)) - 7, 1)),"
+        " i -> substring(lower(text), i, 8))"
+    )
+    g = _docs(spark, sf).select("doc_id", F.explode(grams).alias("gram"))
+    h = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint")
+    return (
+        g.select("doc_id", h.alias("h"), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.min("h").alias("fp_min"),
+            F.max("h").alias("fp_max"),
+            F.countDistinct("gram").alias("n_grams"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_lang_stats(spark, sf):
     return (
         _docs(spark, sf)
@@ -355,7 +509,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
         "minhash_signatures": _q_minhash_signatures,
+        "simhash_fingerprints": _q_simhash,
+        "lsh_band_pairs": _q_lsh_band_pairs,
         "cosine_topk": _q_cosine_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "token_counts": _q_token_counts,
+        "lang_id_heuristic": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
         "lang_stats": _q_lang_stats,
         "quality_scores": _q_quality_scores,
     }
@@ -384,6 +544,22 @@ def oracle_sql() -> dict[str, str]:
     mh_cols = ",".join(
         f"min(CAST(('0x' || substr(md5('{i} ' || shingle), 1, 15)) AS BIGINT)) AS mh{i}"
         for i in range(_MINHASH_K)
+    )
+    sigs = f"(SELECT doc_id, {mh_cols} FROM {shingles} sh GROUP BY doc_id)"
+    simhash_sums = ",".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(_SIMHASH_BITS)
+    )
+    simhash_fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+    )
+    lsh_bands = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, mh{2 * i} AS h1, mh{2 * i + 1} AS h2 FROM sigs"
+        for i in range(_LSH_BANDS)
+    )
+    grams = (
+        "(SELECT doc_id, substr(lower(text), i, 8) AS gram"
+        " FROM documents, LATERAL (SELECT unnest(generate_series(1,"
+        " greatest(length(lower(text)) - 7, 1))) AS i))"
     )
     return {
         "term_stats": f"""
@@ -451,6 +627,64 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_a, doc_b""",
         "minhash_signatures": f"""
             SELECT doc_id, {mh_cols} FROM {shingles} sh GROUP BY doc_id ORDER BY doc_id""",
+        "simhash_fingerprints": f"""
+            WITH t AS (SELECT doc_id,
+                              CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS h
+                       FROM {toks} tk),
+                 s AS (SELECT doc_id, {simhash_sums} FROM t GROUP BY doc_id)
+            SELECT doc_id, CAST({simhash_fp} AS BIGINT) AS simhash
+            FROM s ORDER BY doc_id""",
+        "lsh_band_pairs": f"""
+            WITH sigs AS (SELECT * FROM {sigs} sg),
+                 bands AS ({lsh_bands})
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b USING (band, h1, h2)
+            WHERE a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b""",
+        "ann_ivf_topk": f"""
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_IVF_CELLS}),
+                 assign AS (
+                   SELECT vec_id, v, cid AS cell,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY
+                            list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+                            cid ASC) AS rn
+                   FROM e, cents),
+                 cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+                 q AS (SELECT v AS qv, cell AS qcell FROM cells WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(v, qv) /
+                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+            FROM cells, q WHERE cell = qcell AND vec_id <> 0
+            ORDER BY list_dot_product(v, qv) /
+                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
+                     vec_id ASC
+            LIMIT 10""",
+        "token_counts": """
+            SELECT doc_id,
+                   len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_subword_tokens,
+                   length(lower(text)) AS n_chars_total,
+                   round(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) * 1.0
+                         / len(regexp_extract_all(lower(text), '[a-z0-9]+')), 6) AS avg_subword_len
+            FROM documents ORDER BY doc_id""",
+        "lang_id_heuristic": """
+            WITH d AS (SELECT doc_id, lang,
+                              list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+                       FROM documents),
+                 r AS (SELECT doc_id, lang,
+                              len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks) AS sr
+                       FROM d)
+            SELECT doc_id, lang, round(sr, 6) AS stop_ratio,
+                   CASE WHEN sr >= 0.05 THEN 'en' ELSE 'und' END AS predicted_lang,
+                   CAST(CASE WHEN sr >= 0.05 THEN 'en' ELSE 'und' END = lang AS INT) AS agrees
+            FROM r ORDER BY doc_id""",
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   min(CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)) AS fp_min,
+                   max(CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)) AS fp_max,
+                   count(DISTINCT gram) AS n_grams
+            FROM {grams} g GROUP BY doc_id ORDER BY doc_id""",
         "cosine_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
                  q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -1,0 +1,61 @@
+"""spark-submit entry: build the inverted index over a pages table.
+
+    python jobs/make_dist.py   # → dist/engine.zip
+    spark-submit --py-files dist/engine.zip jobs/build_index.py \
+        --pages /data/pages --out /data/index \
+        --bucket-docs 131072 --chunk-docs 10000000 [--tiered] [--synth N]
+
+On a cluster, size shuffle partitions via --conf spark.sql.shuffle.partitions
+(~2-3x total cores). The build is resumable: re-submitting after a failure
+skips committed chunks (per-chunk manifests under <out>/_manifests).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", help="pages table location (url, warc_ts, html, text, lang)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--bucket-docs", type=int, default=1 << 17)
+    ap.add_argument("--chunk-docs", type=int, default=None)
+    ap.add_argument("--tiered", action="store_true", help="also build the 3-tier parity variant")
+    ap.add_argument("--synth", type=int, default=0, help="generate N synthetic pages instead of --pages")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from searchengine_spark.catalog import read_table
+    from searchengine_spark.index.build import IndexBuilder
+    from searchengine_spark.session import ENGINE_CONFS
+
+    b = SparkSession.builder.appName("build-index")
+    for k, v in ENGINE_CONFS.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+
+    if args.synth:
+        from searchengine_spark.corpus import generate_pages
+
+        pages = generate_pages(spark, args.synth)
+    else:
+        if not args.pages:
+            raise SystemExit("--pages or --synth required")
+        pages = read_table(spark, args.pages)
+
+    stats = IndexBuilder(
+        spark, args.out, bucket_docs=args.bucket_docs, chunk_docs=args.chunk_docs
+    ).build(pages)
+    if args.tiered:
+        from searchengine_spark.index.tiered import build_tiered
+
+        stats["tiered"] = build_tiered(spark, args.out, bucket_docs=args.bucket_docs)
+    print(json.dumps(stats, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

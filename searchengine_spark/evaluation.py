@@ -1,0 +1,79 @@
+"""Batch retrieval-quality evaluation (SURVEY §2.1 batch eval / §5).
+
+The Spark analogue of the reference's Cranfield harness
+(``Milestone3/SimulateQueryRun.java:33-117`` +
+``Milestone3/CalculateAveragePrecision.java:25-61``): run a query set in
+ONE Spark job (ranked_topk_batch), score AP@20 per query against a qrel
+map, report MAP + latency aggregates. The reference's AP is
+  AP(q) = (Σ_{relevant hits h in top-20} h/rank(h)) / |relevant(q)|
+(``CalculateAveragePrecision.java:25-29,44-61``).
+
+Since no human relevance judgments exist for synthetic corpora, qrels
+are synthesized from a chosen reference mode's own top-k (e.g. full
+tf-idf evaluation) — MAP then measures how much a faster/looser variant
+(BM25, tier fall-through) departs from the reference ranking, which is
+exactly what the reference's six-variant A/B harness measured.
+"""
+
+from __future__ import annotations
+
+import time
+
+from .query.exec import IndexHandle, ranked_topk_batch
+
+
+def average_precision(
+    top_docs: list[int], relevant: set[int], k: int = 20
+) -> float:
+    """Reference AP@k (CalculateAveragePrecision.java:44-61)."""
+    if not relevant:
+        return 0.0
+    hits = 0
+    combined = 0.0
+    for rank, d in enumerate(top_docs[:k], start=1):
+        if d in relevant:
+            hits += 1
+            combined += hits / rank
+    return combined / len(relevant)
+
+
+def topk_map(
+    idx: IndexHandle,
+    queries: list[tuple[int, str]],
+    qrels: dict[int, set[int]],
+    k: int = 20,
+    scorer: str = "tfidf_ref",
+) -> dict:
+    """One-job batch evaluation → {'map': float, 'ap': {qid: ap},
+    'elapsed_sec', 'qps'}."""
+    t0 = time.time()
+    rows = ranked_topk_batch(idx, queries, k=k, scorer=scorer).collect()
+    elapsed = time.time() - t0
+    per_q: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append((r["rank"], r["doc_id"]))
+    ap = {}
+    for qid, _ in queries:
+        docs = [d for _, d in sorted(per_q.get(qid, []))]
+        ap[qid] = average_precision(docs, qrels.get(qid, set()), k=k)
+    n = max(len(queries), 1)
+    return {
+        "map": sum(ap.values()) / n,
+        "ap": ap,
+        "elapsed_sec": elapsed,
+        "qps": len(queries) / max(elapsed, 1e-9),
+    }
+
+
+def qrels_from_mode(
+    idx: IndexHandle,
+    queries: list[tuple[int, str]],
+    k: int = 20,
+    scorer: str = "tfidf_ref",
+) -> dict[int, set[int]]:
+    """Synthesize qrels: the chosen mode's top-k IS the relevant set."""
+    rows = ranked_topk_batch(idx, queries, k=k, scorer=scorer).collect()
+    qrels: dict[int, set[int]] = {qid: set() for qid, _ in queries}
+    for r in rows:
+        qrels[r["qid"]].add(r["doc_id"])
+    return qrels

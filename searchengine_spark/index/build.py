@@ -164,9 +164,12 @@ def build_postings_for_docs(
     dt = dt.withColumn(
         "bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("int")
     )
+    # the sorted struct carries only what the encoder needs; per-doc dl/ld
+    # enter the per-block stats through separate min() aggregates, keeping
+    # the shuffled/sorted payload minimal
     grouped = dt.groupBy("term", "bucket").agg(
         F.sort_array(
-            F.collect_list(F.struct("doc_id", "tf", "positions", "dl"))
+            F.collect_list(F.struct("doc_id", "tf", "positions"))
         ).alias("plist"),
         F.count(F.lit(1)).cast("int").alias("df_b"),
         F.sum("tf").alias("cf_b"),

@@ -211,6 +211,15 @@ class BooleanPlanner:
         elif len(merge_list) == 1:
             merged = merge_list[0]
         for nl in not_list:
+            if merged is None:
+                # The reference NPE-crashes here (removeNotList(null, …),
+                # BooleanQueryParser.java:188,453): reachable when
+                # optimizeQuery's re-tokenization drops every positive
+                # token (e.g. "((( -word") yet validation passed on the
+                # raw query. We define the result as no-match; the
+                # differential harness records the Java crash and asserts
+                # our empty result for such queries.
+                return None
             merged = self.b.andnot(merged, nl)
         return merged
 

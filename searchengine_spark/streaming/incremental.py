@@ -1,0 +1,153 @@
+"""Incremental index ingest via Structured Streaming.
+
+The reference is strictly batch (SURVEY §2.7 ABSENT list) — this is the
+web-scale extension a crawl pipeline needs: pages parquet files landing
+in a directory are indexed as they arrive. Each micro-batch becomes one
+postings chunk in the SAME on-disk layout as the batch IndexBuilder
+(build.py), with its own lineage/metrics manifest, so:
+
+  * a streaming-built index serves identical query results to a
+    batch-built one over the same pages (tested),
+  * restart-safety comes from the stream checkpoint (source offsets) plus
+    the per-chunk manifests (exactly-once chunk commit on top of
+    at-least-once foreachBatch: a replayed batch_id overwrites its own
+    chunk directory idempotently before the manifest lands),
+  * doc_ids stay dense: each batch's ids start at the running total
+    (recorded in the stream manifest chain).
+
+Overlapping (term, bucket) blocks across chunks are by design — readers
+union blocks; doc ranges across batches are disjoint so postings stay
+consistent and per-term df = Σ df_b still holds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.build import (
+    DEFAULT_BUCKET_DOCS,
+    assign_dense_ids,
+    build_postings_for_docs,
+    tokenize_pages,
+)
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+class StreamingIndexBuilder:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        bucket_docs: int = DEFAULT_BUCKET_DOCS,
+    ) -> None:
+        self.spark = spark
+        self.out = out_dir
+        self.bucket_docs = bucket_docs
+        os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+
+    def _manifest(self, name: str) -> str:
+        return os.path.join(self.out, "_manifests", f"{name}.json")
+
+    def _n_docs_so_far(self) -> int:
+        mdir = os.path.join(self.out, "_manifests")
+        total = 0
+        for f in os.listdir(mdir):
+            if f.startswith("stream_batch_") and f.endswith(".json"):
+                total += json.load(open(os.path.join(mdir, f)))["rows"]
+        return total
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        name = f"stream_batch_{batch_id:06d}"
+        if os.path.exists(self._manifest(name)):  # replayed batch: done
+            return
+        t0 = time.time()
+        start = self._n_docs_so_far()
+        tk = tokenize_pages(batch_df)
+        with_ids = assign_dense_ids(tk, order_col="url", start=start)
+        docs = with_ids.select(
+            "doc_id", "url", "warc_ts", "lang", "dl", "ld", "terms"
+        ).persist()
+        n = docs.count()
+        docs.write.mode("append").parquet(os.path.join(self.out, "docs"))
+        post = build_postings_for_docs(
+            docs.select("doc_id", "dl", "ld", "terms"), self.bucket_docs
+        )
+        cdir = os.path.join(self.out, "postings", f"chunk=stream_{batch_id}")
+        post.write.mode("overwrite").parquet(cdir)  # idempotent on replay
+        docs.unpersist()
+        payload = {
+            "stage": "stream_batch",
+            "batch_id": batch_id,
+            "rows": n,
+            "doc_range": [start, start + n],
+            "elapsed_sec": time.time() - t0,
+            "docs_per_sec": n / max(time.time() - t0, 1e-9),
+            "lineage": {"bucket_docs": self.bucket_docs},
+        }
+        tmp = self._manifest(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest(name))
+
+    def run_available(
+        self, pages_dir: str, max_files_per_trigger: int | None = None
+    ) -> None:
+        """Drain everything currently in pages_dir (availableNow), then
+        stop — deterministic for tests; drop the trigger for continuous
+        ingest in production."""
+        reader = (
+            self.spark.readStream.schema(PAGES_SCHEMA)
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(pages_dir)
+        q = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option(
+                "checkpointLocation", os.path.join(self.out, "_stream_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def finalize(self) -> dict:
+        """Recompute lexicon + meta over all chunks ingested so far,
+        making the directory a valid IndexHandle target."""
+        spark = self.spark
+        post = spark.read.option(
+            "basePath", os.path.join(self.out, "postings")
+        ).parquet(os.path.join(self.out, "postings"))
+        lex = post.groupBy("term").agg(
+            F.sum("df_b").cast("long").alias("df"),
+            F.sum("cf_b").cast("long").alias("cf"),
+            F.max("max_tf").alias("max_tf"),
+            F.max("max_wdt").alias("max_wdt"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        )
+        lex.write.mode("overwrite").parquet(os.path.join(self.out, "lexicon"))
+        docs = spark.read.parquet(os.path.join(self.out, "docs"))
+        row = docs.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")
+        ).collect()[0]
+        meta = {
+            "n_docs": row["n"],
+            "total_dl": int(row["total_dl"] or 0),
+            "avgdl": (row["total_dl"] or 0) / max(row["n"], 1),
+            "bucket_docs": self.bucket_docs,
+            "mode": "streaming",
+        }
+        for name, payload in (("meta", meta), ("lexicon", {"stage": "lexicon"}), ("docs", {"stage": "docs", "rows": row["n"]})):
+            tmp = self._manifest(name) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(payload, f, indent=1, sort_keys=True)
+            os.replace(tmp, self._manifest(name))
+        return meta

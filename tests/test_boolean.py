@@ -54,6 +54,10 @@ QUERIES = [
     "zzzmissing",
     "",
     "   ",
+    # positives dropped by optimizeQuery re-tokenization → the reference
+    # NPEs (BooleanQueryParser.java:453); we define no-match
+    "((( -spark",
+    "--- -merge",
 ]
 
 

@@ -1,0 +1,117 @@
+"""Training-data extensions: MAP evaluation harness, streaming incremental
+build ≡ batch build, multimodal binary-column plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.evaluation import average_precision, qrels_from_mode, topk_map
+from searchengine_spark.query.exec import IndexHandle, ranked_topk
+
+
+# ---------------------------------------------------------------- MAP ----
+
+def test_average_precision_reference_semantics():
+    # relevant docs 1,3,5; top-5 = [1,2,3,4,9] → hits at ranks 1,3
+    # AP = (1/1 + 2/3) / 3
+    ap = average_precision([1, 2, 3, 4, 9], {1, 3, 5})
+    assert abs(ap - (1.0 + 2.0 / 3.0) / 3.0) < 1e-12
+    assert average_precision([7, 8], {1}) == 0.0
+    assert average_precision([1], set()) == 0.0
+
+
+def test_map_self_consistency(spark, built_index):
+    """Qrels synthesized from full tf-idf ⇒ full tf-idf scores MAP 1.0;
+    the lossy tiered path can only do worse or equal."""
+    idx = IndexHandle(spark, built_index)
+    queries = [(1, "fast data"), (2, "spark stream window"), (3, "the")]
+    qrels = qrels_from_mode(idx, queries, k=10, scorer="tfidf_ref")
+    full = topk_map(idx, queries, qrels, k=10, scorer="tfidf_ref")
+    assert abs(full["map"] - 1.0) < 1e-12, full
+    bm = topk_map(idx, queries, qrels, k=10, scorer="bm25")
+    assert 0.0 < bm["map"] <= 1.0
+
+
+# ---------------------------------------------------------- streaming ----
+
+def test_streaming_build_equals_batch(spark, small_corpus_pdf, built_index, tmp_path):
+    from searchengine_spark.streaming.incremental import StreamingIndexBuilder
+
+    pages_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "stream_index")
+    spark.createDataFrame(small_corpus_pdf).repartition(4).write.parquet(pages_dir)
+
+    b = StreamingIndexBuilder(spark, out_dir, bucket_docs=64)
+    b.run_available(pages_dir, max_files_per_trigger=2)  # ≥2 micro-batches
+    meta = b.finalize()
+    assert meta["n_docs"] == len(small_corpus_pdf)
+
+    import json
+    import os
+
+    manifests = [
+        f
+        for f in os.listdir(os.path.join(out_dir, "_manifests"))
+        if f.startswith("stream_batch_")
+    ]
+    assert len(manifests) >= 2, "expected multiple micro-batches"
+
+    sidx = IndexHandle(spark, out_dir)
+    bidx = IndexHandle(spark, built_index)
+    for q in ["fast data", "spark stream window", "the", "state-of"]:
+        s = {
+            r["url"]: round(r["score"], 9)
+            for r in ranked_topk(sidx, q, k=10, scorer="bm25").collect()
+        }
+        bt = {
+            r["url"]: round(r["score"], 9)
+            for r in ranked_topk(bidx, q, k=10, scorer="bm25").collect()
+        }
+        assert s == bt, q
+
+
+# --------------------------------------------------------- multimodal ----
+
+def test_multimodal_features(spark):
+    from searchengine_spark.ml.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        resize_plan,
+        sample_frames,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 60, parallelism=6)
+    feats = extract_features(media).collect()
+    assert len(feats) == 60
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["feature"]) == FEATURE_DIM for r in feats)
+    # unit norm, deterministic across partitionings
+    media1 = synthesize_media(spark, 60, parallelism=2)
+    feats1 = {r["media_id"]: r["feature"] for r in extract_features(media1).collect()}
+    for mid, r in by_id.items():
+        assert feats1[mid] == r["feature"]
+        assert abs(math.fsum(x * x for x in r["feature"]) - 1.0) < 1e-5
+
+    # frame sampling: video rows explode, others stay single
+    frames = sample_frames(media, every_n=2).groupBy("media_id").count().collect()
+    kinds = {r["media_id"]: (r["kind"], r["n_frames"]) for r in media.collect()}
+    for r in frames:
+        kind, n = kinds[r["media_id"]]
+        want = math.ceil(n / 2) if kind == "video" else 1
+        assert r["count"] == want, (r, kind, n)
+
+    # resize plan is JVM-only math
+    plan = {r["media_id"]: r for r in resize_plan(media, max_side=20).collect()}
+    for mid, (kind, _) in kinds.items():
+        r = plan[mid]
+        assert max(r["target_w"], r["target_h"]) <= 20
+        assert r["target_w"] <= r["width"] and r["target_h"] <= r["height"]
+
+
+def test_multimodal_decode_stub_rejects_real_media(spark):
+    from searchengine_spark.ml.multimodal import decode_payload
+
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)

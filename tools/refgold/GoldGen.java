@@ -123,9 +123,21 @@ public class GoldGen {
             // fresh parser per query: its OR-stack field starts empty, same
             // as the UI's reused instance after a completed parse
             BooleanQueryParser p = new BooleanQueryParser(dii);
-            ArrayList<DiskPosting> r = p.parseQuery(queries.get(qi), 0, false);
+            ArrayList<DiskPosting> r;
+            boolean crashed = false;
+            try {
+                r = p.parseQuery(queries.get(qi), 0, false);
+            } catch (RuntimeException e) {
+                // the reference NPEs when a subquery's positives all
+                // vanish in optimizeQuery (removeNotList(null, ...),
+                // BooleanQueryParser.java:453) — record it as a crash
+                r = null;
+                crashed = true;
+            }
             sb.append("\"q").append(qi).append("\": ");
-            if (r == null) {
+            if (crashed) {
+                sb.append("\"crash\"");
+            } else if (r == null) {
                 sb.append("null");
             } else {
                 sb.append('[');
