@@ -46,7 +46,7 @@ from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from ..text.udfs import tokenize_doc
-from .varbyte import encode_position_lists, encode_sorted, vb_encode
+from .varbyte import encode_positions_flat, encode_sorted, vb_encode
 
 DEFAULT_BUCKET_DOCS = 1 << 17  # 131,072 docs per posting block row
 
@@ -97,6 +97,9 @@ def assign_dense_ids(
         id_col,
         F.row_number().over(w).cast("long") - 1 + off_expr[F.col("_pid")],
     ).drop("_pid")
+    # expose the persisted intermediate so callers can free it once the
+    # ids are materialized downstream
+    out._sg_persisted = parts
     return out
 
 
@@ -115,16 +118,19 @@ ENC_SCHEMA = T.StructType(
 
 @F.pandas_udf(ENC_SCHEMA)
 def _encode_block(
-    doc_ids: pd.Series, tfs: pd.Series, positions: pd.Series
+    doc_ids: pd.Series, tfs: pd.Series, pos_flat: pd.Series
 ) -> pd.DataFrame:
     """Inputs are aligned arrays per (term,bucket) row, already docID-sorted
-    JVM-side (sort_array on struct). Deltas+varbyte, all numpy."""
+    JVM-side (sort_array on struct); positions arrive FLATTENED per block
+    (lengths = tfs) so the Arrow batch stays columnar end to end.
+    Deltas+varbyte, all numpy."""
     out_d, out_t, out_p = [], [], []
-    for d, t, p in zip(doc_ids, tfs, positions):
+    for d, t, p in zip(doc_ids, tfs, pos_flat):
         da = np.asarray(d, dtype=np.int64)
+        ta = np.asarray(t, dtype=np.int64)
         out_d.append(encode_sorted(da))
-        out_t.append(vb_encode(np.asarray(t, dtype=np.int64)))
-        out_p.append(encode_position_lists([np.asarray(x, dtype=np.int64) for x in p]))
+        out_t.append(vb_encode(ta))
+        out_p.append(encode_positions_flat(np.asarray(p, dtype=np.int64), ta))
     return pd.DataFrame({"docs_vb": out_d, "tfs_vb": out_t, "pos_vb": out_p})
 
 
@@ -194,10 +200,10 @@ def build_postings_for_docs(
         "doc_last",
         F.expr("transform(plist, x -> x.doc_id)").alias("d_arr"),
         F.expr("transform(plist, x -> x.tf)").alias("t_arr"),
-        F.expr("transform(plist, x -> x.positions)").alias("p_arr"),
+        F.expr("flatten(transform(plist, x -> x.positions))").alias("p_flat"),
     )
     enc = grouped.withColumn(
-        "enc", _encode_block(F.col("d_arr"), F.col("t_arr"), F.col("p_arr"))
+        "enc", _encode_block(F.col("d_arr"), F.col("t_arr"), F.col("p_flat"))
     )
     return enc.select(
         "term",
@@ -254,19 +260,39 @@ class IndexBuilder:
         t0 = time.time()
         docs_path = os.path.join(self.out, "docs")
         if not self._committed("docs"):
-            tk = tokenize_pages(pages)
-            with_ids = assign_dense_ids(tk, order_col="url")
-            docs = with_ids.select(
-                "doc_id", "url", "warc_ts", "lang", "dl", "ld", "terms"
+            # assign ids BEFORE tokenizing: the range shuffle + per-partition
+            # sort then move raw pages (~hundreds of bytes/row), not
+            # tokenized posting structs; tokenization happens as a pure
+            # projection inside the single write pass
+            with_ids = assign_dense_ids(
+                pages.select("url", "warc_ts", "lang", "text"), order_col="url"
+            )
+            tk = with_ids.withColumn("tk", tokenize_doc(F.col("text")))
+            docs = tk.select(
+                "doc_id",
+                "url",
+                "warc_ts",
+                "lang",
+                F.col("tk.dl").alias("dl"),
+                F.col("tk.ld").alias("ld"),
+                F.col("tk.terms").alias("terms"),
             )
             dt0 = time.time()
             docs.write.mode("overwrite").parquet(docs_path)
-            n_docs = self.spark.read.parquet(docs_path).count()
+            # free the id-assignment cache before the shuffle-heavy
+            # postings stage
+            with_ids._sg_persisted.unpersist()
+            # one readback job serves the row count AND the corpus meta
+            row = self.spark.read.parquet(docs_path).agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")
+            ).collect()[0]
+            n_docs = row["n"]
             self._commit(
                 "docs",
                 {
                     "stage": "docs",
                     "rows": n_docs,
+                    "total_dl": int(row["total_dl"] or 0),
                     "elapsed_sec": time.time() - dt0,
                     "docs_per_sec": n_docs / max(time.time() - dt0, 1e-9),
                     "bucket_docs": self.bucket_docs,
@@ -274,7 +300,8 @@ class IndexBuilder:
                 },
             )
         docs_full = self.spark.read.parquet(docs_path)
-        n_docs = json.load(open(self._manifest_path("docs")))["rows"]
+        docs_man = json.load(open(self._manifest_path("docs")))
+        n_docs = docs_man["rows"]
 
         chunk = self.chunk_docs or max(n_docs, 1)
         # chunk boundary must align with bucket boundary so every
@@ -341,16 +368,17 @@ class IndexBuilder:
             self._commit("lexicon", {"stage": "lexicon"})
 
         if not self._committed("meta"):
-            row = docs_full.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("dl").alias("total_dl"),
-            ).collect()[0]
+            total_dl = docs_man.get("total_dl")
+            if total_dl is None:  # manifest from an older build: one agg job
+                total_dl = int(
+                    docs_full.agg(F.sum("dl")).collect()[0][0] or 0
+                )
             self._commit(
                 "meta",
                 {
-                    "n_docs": row["n"],
-                    "total_dl": int(row["total_dl"] or 0),
-                    "avgdl": (row["total_dl"] or 0) / max(row["n"], 1),
+                    "n_docs": n_docs,
+                    "total_dl": total_dl,
+                    "avgdl": total_dl / max(n_docs, 1),
                     "bucket_docs": self.bucket_docs,
                 },
             )

@@ -94,11 +94,11 @@ def build_tiered(
             "df_b",
             F.expr("transform(plist, x -> x.doc_id)").alias("d_arr"),
             F.expr("transform(plist, x -> x.tf)").alias("t_arr"),
-            F.expr("transform(plist, x -> x.positions)").alias("p_arr"),
+            F.expr("flatten(transform(plist, x -> x.positions))").alias("p_flat"),
         )
     )
     enc = grouped.withColumn(
-        "enc", _encode_block(F.col("d_arr"), F.col("t_arr"), F.col("p_arr"))
+        "enc", _encode_block(F.col("d_arr"), F.col("t_arr"), F.col("p_flat"))
     ).select(
         "term",
         "tier",

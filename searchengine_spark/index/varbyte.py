@@ -100,6 +100,24 @@ def encode_position_lists(positions: list[np.ndarray]) -> bytes:
     return vb_encode(gaps.astype(_U64))
 
 
+def encode_positions_flat(flat: np.ndarray, tfs: np.ndarray) -> bytes:
+    """Same wire format as :func:`encode_position_lists`, but takes the
+    per-posting position lists pre-FLATTENED (with ``tfs`` as lengths).
+    Rationale: Spark-side ``flatten(...)`` turns the per-block positions
+    into ONE int array column, so the Arrow transfer stays columnar —
+    a nested array<array<int>> column would materialize a Python list
+    object per posting at the UDF boundary."""
+    flat = np.asarray(flat, dtype=np.int64)
+    if flat.size == 0:
+        return b""
+    gaps = np.empty_like(flat)
+    gaps[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=gaps[1:])
+    starts = np.cumsum(np.asarray(tfs, dtype=np.int64))[:-1]
+    gaps[starts] = flat[starts]  # reset the delta chain per posting
+    return vb_encode(gaps.astype(_U64))
+
+
 def decode_position_lists(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
     flat = vb_decode(buf).astype(np.int64)
     out: list[np.ndarray] = []

@@ -340,6 +340,32 @@ class SparkBackend:
         return p.isEmpty()
 
 
+def near_query(idx, term_a: str, term_b: str, k: int, with_urls: bool = True) -> DataFrame:
+    """NEAR/k: docs where (normalized) term_b occurs within 1..k positions
+    AFTER term_a — the generalization the reference's phrase merge was
+    built for but never exposed (``BooleanQueryParser.java:138-139,232``:
+    "Can be increased to extend and implement a near/k query"). k=1 is
+    exactly the phrase operator J4."""
+    spark = idx.spark
+    backend = SparkBackend(idx)
+    ta = normalize_query_token(term_a.lower().strip())
+    tb = normalize_query_token(term_b.lower().strip())
+    backend.prepare({ta, tb})
+    a, b = backend.lookup(ta, True), backend.lookup(tb, True)
+    out = None
+    if a is not None and b is not None:
+        merged = None
+        for kk in range(1, k + 1):
+            m = backend.phrase_merge(a, b, kk)
+            merged = m if merged is None else backend.or_merge(merged, m)
+        out = merged.select("doc_id")
+    if out is None:
+        out = spark.createDataFrame([], "doc_id long")
+    if with_urls:
+        out = out.join(idx.docs.select("doc_id", "url"), "doc_id")
+    return out.orderBy("doc_id")
+
+
 def boolean_query(idx, query: str, with_urls: bool = True) -> DataFrame:
     """Execute a boolean/phrase query against a built index; returns a
     DataFrame (doc_id [, url]) in ascending doc_id order — the reference's

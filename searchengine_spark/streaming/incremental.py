@@ -33,8 +33,8 @@ from ..index.build import (
     DEFAULT_BUCKET_DOCS,
     assign_dense_ids,
     build_postings_for_docs,
-    tokenize_pages,
 )
+from ..text.udfs import tokenize_doc
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -70,10 +70,19 @@ class StreamingIndexBuilder:
             return
         t0 = time.time()
         start = self._n_docs_so_far()
-        tk = tokenize_pages(batch_df)
-        with_ids = assign_dense_ids(tk, order_col="url", start=start)
-        docs = with_ids.select(
-            "doc_id", "url", "warc_ts", "lang", "dl", "ld", "terms"
+        with_ids = assign_dense_ids(
+            batch_df.select("url", "warc_ts", "lang", "text"),
+            order_col="url",
+            start=start,
+        )
+        docs = with_ids.withColumn("tk", tokenize_doc(F.col("text"))).select(
+            "doc_id",
+            "url",
+            "warc_ts",
+            "lang",
+            F.col("tk.dl").alias("dl"),
+            F.col("tk.ld").alias("ld"),
+            F.col("tk.terms").alias("terms"),
         ).persist()
         n = docs.count()
         docs.write.mode("append").parquet(os.path.join(self.out, "docs"))
@@ -83,6 +92,7 @@ class StreamingIndexBuilder:
         cdir = os.path.join(self.out, "postings", f"chunk=stream_{batch_id}")
         post.write.mode("overwrite").parquet(cdir)  # idempotent on replay
         docs.unpersist()
+        with_ids._sg_persisted.unpersist()
         payload = {
             "stage": "stream_batch",
             "batch_id": batch_id,

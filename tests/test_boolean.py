@@ -93,3 +93,23 @@ def test_boolean_vs_oracle(handle, oracle_index, q):
 def test_boolean_returns_urls(handle, oracle_index):
     rows = boolean_query(handle, "spark merge").collect()
     assert all(r["url"] == oracle_index.urls[r["doc_id"]] for r in rows)
+
+
+def test_near_query(handle, oracle_index):
+    from searchengine_spark.query.boolean import near_query
+    from searchengine_spark.text.tokenizer import normalize_query_token
+
+    ta, tb = normalize_query_token("fast"), normalize_query_token("key")
+    for k in (1, 3):
+        got = [r["doc_id"] for r in near_query(handle, "fast", "key", k, with_urls=False).collect()]
+        want = sorted(
+            d
+            for d, pa in oracle_index.index.get(ta, [])
+            for db, pb in oracle_index.index.get(tb, [])
+            if d == db and any(p + kk in pb for p in pa for kk in range(1, k + 1))
+        )
+        assert got == sorted(set(want)), (k, got, want)
+    # NEAR/1 ≡ phrase J4
+    phrase = [r["doc_id"] for r in boolean_query(handle, '"fast key"', with_urls=False).collect()]
+    near1 = [r["doc_id"] for r in near_query(handle, "fast", "key", 1, with_urls=False).collect()]
+    assert phrase == near1

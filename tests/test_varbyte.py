@@ -53,6 +53,21 @@ def test_position_lists_roundtrip():
         assert np.array_equal(got, want)
 
 
+def test_positions_flat_matches_nested():
+    import numpy as np
+
+    from searchengine_spark.index.varbyte import (
+        encode_position_lists,
+        encode_positions_flat,
+    )
+
+    lists = [np.array([1, 5, 9]), np.array([2]), np.array([3, 4, 100, 200])]
+    flat = np.concatenate(lists)
+    tfs = np.array([len(x) for x in lists])
+    assert encode_positions_flat(flat, tfs) == encode_position_lists(lists)
+    assert encode_positions_flat(np.array([], dtype=np.int64), np.array([], dtype=np.int64)) == b""
+
+
 def test_position_lists_empty():
     assert encode_position_lists([]) == b""
     assert decode_position_lists(b"", np.array([], dtype=np.int64)) == []
