@@ -72,7 +72,7 @@ def _build_and_query(
             out["batch_queries_sec"] = batch_sec
             out["batch_qps"] = len(qs) / batch_sec
             out["batch_result_rows"] = nres
-            # interactive latency over a sample
+            # interactive latency over a sample — Spark job path
             lats = []
             for qid, q in qs[:20]:
                 t0 = time.time()
@@ -81,6 +81,20 @@ def _build_and_query(
             lats.sort()
             out["interactive_p50_sec"] = lats[len(lats) // 2]
             out["interactive_p95_sec"] = lats[int(len(lats) * 0.95) - 1]
+            # …and the Spark-free serving tier over the same index
+            from searchengine_spark.query.serve import LocalIndexReader
+
+            reader = LocalIndexReader(idx_dir)
+            reader.ranked_topk("warm up", k=20)
+            slats = []
+            for qid, q in qs[:50]:
+                t0 = time.time()
+                reader.ranked_topk(q, k=20, scorer="bm25")
+                slats.append(time.time() - t0)
+            slats.sort()
+            out["serve_p50_sec"] = slats[len(slats) // 2]
+            out["serve_p95_sec"] = slats[int(len(slats) * 0.95) - 1]
+            out["serve_qps"] = len(slats) / sum(slats)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(pages_dir, ignore_errors=True)
@@ -140,6 +154,9 @@ def main() -> None:
             "batch_qps": round(result.get("batch_qps", 0.0), 2),
             "interactive_p50_sec": round(result.get("interactive_p50_sec", 0.0), 3),
             "interactive_p95_sec": round(result.get("interactive_p95_sec", 0.0), 3),
+            "serve_p50_sec": round(result.get("serve_p50_sec", 0.0), 4),
+            "serve_p95_sec": round(result.get("serve_p95_sec", 0.0), 4),
+            "serve_qps": round(result.get("serve_qps", 0.0), 1),
             "scaling": result.get("scaling"),
         },
     }

@@ -50,9 +50,12 @@ def main() -> None:
         spark, args.out, bucket_docs=args.bucket_docs, chunk_docs=args.chunk_docs
     ).build(pages)
     if args.tiered:
-        from searchengine_spark.index.tiered import build_tiered
+        from searchengine_spark.index.tiered import build_tiered, build_tiered_scored
 
         stats["tiered"] = build_tiered(spark, args.out, bucket_docs=args.bucket_docs)
+        stats["tiered_scored"] = build_tiered_scored(
+            spark, args.out, bucket_docs=args.bucket_docs
+        )
     print(json.dumps(stats, default=str))
     spark.stop()
 

@@ -18,9 +18,20 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--scorer", default="bm25", choices=["bm25", "tfidf_ref"])
     ap.add_argument(
-        "--mode", default="wand", choices=["full", "wand", "tiered", "boolean"]
+        "--mode",
+        default="wand",
+        choices=["full", "wand", "tiered", "scored", "boolean", "serve"],
     )
     args = ap.parse_args()
+
+    if args.mode == "serve":  # Spark-free serving tier — no session at all
+        from searchengine_spark.query.serve import LocalIndexReader
+
+        rows = LocalIndexReader(args.index).ranked_topk(
+            args.query, k=args.k, scorer=args.scorer
+        )
+        print(json.dumps({"results": rows}))
+        return
 
     from pyspark.sql import SparkSession
 
@@ -37,12 +48,16 @@ def main() -> None:
 
         rows = boolean_query(IndexHandle(spark, args.index), args.query).collect()
         print(json.dumps([{"doc_id": r["doc_id"], "url": r["url"]} for r in rows]))
-    elif args.mode == "tiered":
-        from searchengine_spark.query.tiered import TieredIndexHandle, tiered_ranked_topk
+    elif args.mode in ("tiered", "scored"):
+        from searchengine_spark.query.tiered import (
+            TieredIndexHandle,
+            scored_ranked_topk,
+            tiered_ranked_topk,
+        )
 
-        rows = tiered_ranked_topk(
-            TieredIndexHandle(spark, args.index), args.query, k=args.k
-        ).collect()
+        h = TieredIndexHandle(spark, args.index)
+        fn = tiered_ranked_topk if args.mode == "tiered" else scored_ranked_topk
+        rows = fn(h, args.query, k=args.k).collect()
         print(json.dumps([dict(doc_id=r["doc_id"], url=r["url"], score=r["score"]) for r in rows]))
     else:
         from searchengine_spark.query.exec import IndexHandle, ranked_topk

@@ -71,6 +71,35 @@ def _wdt_cmp(a: tuple, b: tuple) -> int:
     return 0
 
 
+def assign_tiers_scored(
+    doc_ids: Sequence[int], scores: Sequence[float]
+) -> list[int]:
+    """Tier labels for the WithScore writer
+    (``TieredIndexWriterWithScore.java:100-166``): the PriorityQueue is
+    ranked by the precomputed score, and — crucially for tie order — fed
+    from ``accumulator.values()``, a HashMap<Integer,·> built in posting
+    (docID) order, so the offer sequence is HashMap-Integer iteration
+    order, not docID order."""
+    from ..text.javahash import hashmap_iteration_order_ints
+
+    n = len(doc_ids)
+    pos = {d: i for i, d in enumerate(doc_ids)}
+    insertion = hashmap_iteration_order_ints(list(doc_ids))
+    pq = JavaPriorityQueue(_wdt_cmp)
+    pq.add_all([(scores[pos[d]], pos[d]) for d in insertion])
+    out = [0] * n
+    for tier, quota in (
+        (1, math.ceil(n / 10)),
+        (2, math.ceil(n / 3)),
+        (3, n),
+    ):
+        taken = 0
+        while taken < quota and len(pq):
+            out[pq.poll()[1]] = tier
+            taken += 1
+    return out
+
+
 def assign_tiers(doc_ids: Sequence[int], tfs: Sequence[int]) -> list[int]:
     """Tier (1/2/3) per posting, aligned with the input (docID order —
     the reference's insertion order). Tier sizes ⌈n/10⌉ / ⌈n/3⌉ / rest

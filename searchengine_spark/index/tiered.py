@@ -30,10 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .build import _encode_block
-from .javapq import assign_tiers
+from .javapq import assign_tiers, assign_tiers_scored
 
 TIER_SCHEMA = (
     "term string, tier int, doc_id long, tf long, positions array<int>"
+)
+SCORED_SCHEMA = (
+    "term string, tier int, doc_id long, tf long, score double"
 )
 
 
@@ -55,6 +58,117 @@ def _assign_tiers_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             )
         )
     return pd.concat(out) if out else pdf.head(0).assign(tier=np.int32(0))
+
+
+def _assign_scored_fn(pdf: pd.DataFrame, n_docs: float) -> pd.DataFrame:
+    """Per-term: score = wdt·wqt with N frozen at build
+    (TieredIndexWriterWithScore.java:130-144), tiers by the score-ranked
+    heap with HashMap-Integer insertion order."""
+    import math as _math
+
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    out = []
+    for term, g in pdf.groupby("term", sort=False):
+        df = float(len(g))
+        wqt = _math.log(1.0 + n_docs / df)
+        tfs = g["tf"].to_numpy()
+        scores = [(1.0 + _math.log(int(tf))) * wqt for tf in tfs]
+        tiers = assign_tiers_scored(g["doc_id"].tolist(), scores)
+        out.append(
+            pd.DataFrame(
+                {
+                    "term": g["term"],
+                    "tier": np.asarray(tiers, dtype=np.int32),
+                    "doc_id": g["doc_id"],
+                    "tf": g["tf"],
+                    "score": np.asarray(scores, dtype=np.float64),
+                }
+            )
+        )
+    return pd.concat(out) if out else pdf.head(0).assign(tier=np.int32(0), score=0.0)
+
+
+def build_tiered_scored(
+    spark: SparkSession, idx_dir: str, bucket_docs: int | None = None
+) -> dict:
+    """The inactive M3 'WithScore' variant (SURVEY S8/F4): per-posting
+    precomputed score, score-ranked tiers. Same scale caveat as
+    build_tiered. Blocks store scores as array<double> (the raw-double
+    wire format of the reference collapses into the parquet column)."""
+    from ..query.exec import IndexHandle, decoded_postings
+
+    man = os.path.join(idx_dir, "_manifests", "tiered_scored.json")
+    if os.path.exists(man):
+        return json.load(open(man))
+    t0 = time.time()
+    idx = IndexHandle(spark, idx_dir)
+    if bucket_docs is None:
+        bucket_docs = int(idx.meta.get("bucket_docs", 1 << 17))
+    n_docs = float(idx.meta["n_docs"])
+    all_terms = [r["term"] for r in idx.lexicon.select("term").collect()]
+    decoded = decoded_postings(idx, all_terms)
+    scored = decoded.groupBy("term").applyInPandas(
+        lambda pdf: _assign_scored_fn(pdf, n_docs), schema=SCORED_SCHEMA
+    )
+    scored = scored.withColumn(
+        "bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("int")
+    )
+    grouped = (
+        scored.groupBy("term", "tier", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "tf", "score"))
+            ).alias("plist"),
+            F.count(F.lit(1)).cast("int").alias("df_b"),
+        )
+        .select(
+            "term",
+            "tier",
+            "bucket",
+            "df_b",
+            F.expr("transform(plist, x -> x.doc_id)").alias("d_arr"),
+            F.expr("transform(plist, x -> x.tf)").alias("t_arr"),
+            F.expr("transform(plist, x -> x.score)").alias("scores"),
+        )
+    )
+    enc = grouped.withColumn(
+        "enc",
+        _encode_block(
+            F.col("d_arr"),
+            F.col("t_arr"),
+            F.expr("array()").cast("array<int>"),
+        ),
+    ).select(
+        "term",
+        "tier",
+        "bucket",
+        "df_b",
+        "scores",
+        F.col("enc.docs_vb").alias("docs_vb"),
+        F.col("enc.tfs_vb").alias("tfs_vb"),
+    )
+    out_dir = os.path.join(idx_dir, "postings_scored")
+    enc.repartition(
+        max(spark.sparkContext.defaultParallelism, 4), "term"
+    ).sortWithinPartitions("term", "tier", "bucket").write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    written = spark.read.parquet(out_dir)
+    written.groupBy("term", "tier").agg(
+        F.sum("df_b").cast("long").alias("df_tier")
+    ).write.mode("overwrite").parquet(os.path.join(idx_dir, "lexicon_scored"))
+    payload = {
+        "stage": "tiered_scored",
+        "bucket_docs": bucket_docs,
+        "n_frozen": n_docs,
+        "elapsed_sec": time.time() - t0,
+        "lineage": {"source": "postings", "order": "HashMap<Integer> values + heap"},
+    }
+    tmp = man + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, man)
+    return payload
 
 
 def build_tiered(

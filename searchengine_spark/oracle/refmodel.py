@@ -34,10 +34,19 @@ class OracleIndex:
         return sum(self.dl.values()) / max(self.n_docs, 1)
 
 
-def build_oracle_index(pages: pd.DataFrame) -> OracleIndex:
+def build_oracle_index(
+    pages: pd.DataFrame, order: list[str] | None = None
+) -> OracleIndex:
     """pages: DataFrame with url + text columns. doc_id = rank in url
-    order (the engine's documented walk order, SURVEY §1.1)."""
-    ordered = pages.sort_values("url").reset_index(drop=True)
+    order (the engine's documented walk order, SURVEY §1.1) — or, for
+    differential replay, the EXACT file-walk order the Java engine used
+    (pass ``order``): heap/HashMap tie-breaking depends on the docID
+    permutation, and the reference's filesystem walk is readdir order,
+    which changes when ext4 converts a directory to htree."""
+    if order is not None:
+        ordered = pages.set_index("url").loc[order].reset_index()
+    else:
+        ordered = pages.sort_values("url").reset_index(drop=True)
     docs = list(enumerate(ordered["text"].tolist()))
     index, weights = build_positional_index(docs)
     dl = {d: 0 for d, _ in docs}
@@ -130,6 +139,55 @@ def tiered_ranked_topk_oracle(
         wqt = math.log(1.0 + n / df_total)
         for doc_id, tf in fetched:
             acc[doc_id] = acc.get(doc_id, 0.0) + (1.0 + math.log(tf)) * wqt
+    for d in list(acc):
+        acc[d] = acc[d] / oidx.ld[d]
+    ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+def _scored_tier_lists(oidx: OracleIndex) -> dict:
+    """term → {tier: [(doc_id, precomputed score)] docID-sorted}, scores
+    and tie order per TieredIndexWriterWithScore.java:100-166."""
+    cached = getattr(oidx, "_scored_tiers", None)
+    if cached is not None:
+        return cached
+    from ..index.javapq import assign_tiers_scored
+
+    n = float(oidx.n_docs)
+    tiers: dict = {}
+    for term, plist in oidx.index.items():
+        df = float(len(plist))
+        wqt = math.log(1.0 + n / df)
+        doc_ids = [d for d, _ in plist]
+        scores = [(1.0 + math.log(len(ps))) * wqt for _, ps in plist]
+        labels = assign_tiers_scored(doc_ids, scores)
+        per: dict[int, list] = {}
+        for d, s, t in zip(doc_ids, scores, labels):
+            per.setdefault(t, []).append((d, s))
+        tiers[term] = per
+    oidx._scored_tiers = tiers
+    return tiers
+
+
+def scored_ranked_topk_oracle(
+    oidx: OracleIndex, query: str, k: int = 20
+) -> list[tuple[int, float]]:
+    """WithScore variant (TieredRankedQueryParserWithScore.java:61-137):
+    accumulate precomputed scores under tier fall-through, ÷Ld."""
+    terms = expand_ranked_query(query)
+    tiers = _scored_tier_lists(oidx)
+    acc: dict[int, float] = {}
+    for term in terms:
+        per = tiers.get(term)
+        if not per or 1 not in per:
+            continue
+        fetched = list(per[1])
+        if len(per[1]) < 20 and 2 in per:
+            fetched += per[2]
+            if len(per[2]) < 20 - len(per[1]) and 3 in per:
+                fetched += per[3]
+        for doc_id, s in fetched:
+            acc[doc_id] = acc.get(doc_id, 0.0) + s
     for d in list(acc):
         acc[d] = acc[d] / oidx.ld[d]
     ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))

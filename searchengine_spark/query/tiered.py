@@ -29,7 +29,8 @@ RETRIEVE_K = 20  # TieredRankedQueryParser.java:147
 
 
 class TieredIndexHandle(IndexHandle):
-    """IndexHandle + the tiered artifacts (build_tiered must have run)."""
+    """IndexHandle + the tiered artifacts (build_tiered must have run;
+    the scored artifacts attach lazily if build_tiered_scored ran too)."""
 
     def __post_init__(self) -> None:
         import os
@@ -41,6 +42,12 @@ class TieredIndexHandle(IndexHandle):
         self.lexicon_tiered = self.spark.read.parquet(
             os.path.join(self.path, "lexicon_tiered")
         )
+        scored = os.path.join(self.path, "postings_scored")
+        if os.path.isdir(scored):
+            self.postings_scored = self.spark.read.parquet(scored)
+            self.lexicon_scored = self.spark.read.parquet(
+                os.path.join(self.path, "lexicon_scored")
+            )
 
 
 def select_tiers(df_by_tier: dict[int, int]) -> list[int]:
@@ -105,6 +112,78 @@ def tiered_ranked_topk(
     scored = (
         decoded.join(qw_df, "term")
         .select("doc_id", partial.alias("partial"))
+        .groupBy("doc_id")
+        .agg(F.sum("partial").alias("acc"))
+        .join(idx.docs, "doc_id")
+        .select("doc_id", "url", (F.col("acc") / F.col("ld")).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def scored_ranked_topk(
+    idx: TieredIndexHandle, query: str, k: int = 20
+) -> DataFrame:
+    """The WithScore variant's query path
+    (TieredRankedQueryParserWithScore.java:61-137): accumulate the
+    PRECOMPUTED per-posting scores (wqt frozen at build) under the same
+    tier fall-through, then divide by Ld."""
+    spark = idx.spark
+    schema = "doc_id long, url string, score double"
+    terms = expand_ranked_query(query)
+    if not terms:
+        return spark.createDataFrame([], schema)
+    mult = Counter(terms)
+    lex = (
+        idx.lexicon_scored.filter(F.col("term").isin(sorted(mult)))
+        .collect()
+    )
+    by_term: dict[str, dict[int, int]] = {}
+    for r in lex:
+        by_term.setdefault(r["term"], {})[r["tier"]] = int(r["df_tier"])
+    pairs = []
+    mrows = []
+    for t, c in mult.items():
+        tiers = select_tiers(by_term.get(t, {}))
+        if not tiers:
+            continue
+        pairs.extend((t, tr) for tr in tiers)
+        mrows.append((t, float(c)))
+    if not pairs:
+        return spark.createDataFrame([], schema)
+    pair_dim = F.broadcast(spark.createDataFrame(pairs, "term string, tier int"))
+    mult_dim = F.broadcast(spark.createDataFrame(mrows, "term string, mult double"))
+    blocks = idx.postings_scored.join(pair_dim, ["term", "tier"]).select(
+        "term", "docs_vb", "scores"
+    )
+
+    def _decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..index.varbyte import decode_sorted
+
+        for pdf in batches:
+            ts, ds, ss = [], [], []
+            for term, dvb, sc in zip(pdf["term"], pdf["docs_vb"], pdf["scores"]):
+                d = decode_sorted(bytes(dvb))
+                ts.append(np.repeat(np.array([term], dtype=object), len(d)))
+                ds.append(d)
+                ss.append(np.asarray(sc, dtype=np.float64))
+            if ts:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(ts),
+                        "doc_id": np.concatenate(ds),
+                        "pscore": np.concatenate(ss),
+                    }
+                )
+
+    decoded = blocks.mapInPandas(
+        _decode, schema="term string, doc_id long, pscore double"
+    )
+    scored = (
+        decoded.join(mult_dim, "term")
+        .select("doc_id", (F.col("pscore") * F.col("mult")).alias("partial"))
         .groupBy("doc_id")
         .agg(F.sum("partial").alias("acc"))
         .join(idx.docs, "doc_id")

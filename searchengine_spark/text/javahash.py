@@ -37,6 +37,32 @@ def _spread(h: int) -> int:
     return (u ^ (u >> 16)) & 0xFFFFFFFF
 
 
+def hashmap_iteration_order_ints(keys_in_insertion_order: list[int]) -> list[int]:
+    """Iteration order of ``new HashMap<Integer, ·>()`` after inserting
+    the given distinct int keys in order. ``Integer.hashCode`` is the
+    value itself; the bucket machinery is identical to the String case.
+    Needed by the scored tier writer, whose PriorityQueue is fed from
+    ``accumulator.values()`` — a HashMap<Integer, DiskPosting>
+    (``TieredIndexWriterWithScore.java:117,158``)."""
+    cap = 16
+    threshold = 12
+    buckets: list[list[tuple[int, int]]] = [[] for _ in range(cap)]
+    size = 0
+    for k in keys_in_insertion_order:
+        h = _spread(k & 0xFFFFFFFF)
+        buckets[h & (cap - 1)].append((k, h))
+        size += 1
+        if size > threshold:
+            cap *= 2
+            threshold = int(cap * 0.75)
+            nb: list[list[tuple[int, int]]] = [[] for _ in range(cap)]
+            for b in buckets:
+                for k2, h2 in b:
+                    nb[h2 & (cap - 1)].append((k2, h2))
+            buckets = nb
+    return [k for b in buckets for k, _ in b]
+
+
 def hashmap_iteration_order(keys_in_insertion_order: list[str]) -> list[str]:
     """Iteration order of a ``new HashMap<>()`` after inserting the given
     distinct keys in order (value updates don't move entries)."""

@@ -1,0 +1,50 @@
+"""Spark-free serving tier: results must be rank/score-identical to the
+Spark query path on the same index, at interactive (ms) latency."""
+
+import time
+
+import pytest
+
+from searchengine_spark.oracle.refmodel import assert_rank_identical, ranked_topk_oracle
+from searchengine_spark.query.serve import LocalIndexReader
+
+QUERIES = [
+    "the",
+    "fast data",
+    "spark stream window",
+    "state-of",
+    "the the",
+    "zzzzabsent",
+    "merge sort join hash scan filter group order",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def reader(built_index):
+    return LocalIndexReader(built_index)
+
+
+@pytest.mark.parametrize("scorer", ["tfidf_ref", "bm25"])
+@pytest.mark.parametrize("q", QUERIES)
+def test_serve_rank_identity(reader, oracle_index, q, scorer):
+    got = [(r["doc_id"], r["score"]) for r in reader.ranked_topk(q, k=20, scorer=scorer)]
+    want = ranked_topk_oracle(oracle_index, q, k=20, scorer=scorer)
+    assert_rank_identical(got, want, rel_tol=1e-9)
+
+
+def test_serve_urls(reader, oracle_index):
+    for r in reader.ranked_topk("fast data", k=5):
+        assert r["url"] == oracle_index.urls[r["doc_id"]]
+
+
+def test_serve_latency(reader):
+    reader.ranked_topk("fast data", k=20)  # warm the dataset handles
+    t0 = time.time()
+    n = 20
+    for _ in range(n):
+        reader.ranked_topk("fast data spark window", k=20, scorer="bm25")
+    per = (time.time() - t0) / n
+    # interactive: well under the ~0.8 s Spark job floor; generous bound
+    # for CI noise
+    assert per < 0.25, per

@@ -9,13 +9,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from searchengine_spark.index.javapq import JavaPriorityQueue, assign_tiers
-from searchengine_spark.index.tiered import build_tiered
+from searchengine_spark.index.tiered import build_tiered, build_tiered_scored
 from searchengine_spark.oracle.refmodel import (
     assert_rank_identical,
+    scored_ranked_topk_oracle,
     tiered_ranked_topk_oracle,
 )
 from searchengine_spark.query.tiered import (
     TieredIndexHandle,
+    scored_ranked_topk,
     select_tiers,
     tiered_ranked_topk,
 )
@@ -35,6 +37,7 @@ QUERIES = [
 @pytest.fixture(scope="module")
 def thandle(spark, built_index):
     build_tiered(spark, built_index, bucket_docs=64)
+    build_tiered_scored(spark, built_index, bucket_docs=64)
     return TieredIndexHandle(spark, built_index)
 
 
@@ -87,6 +90,16 @@ def test_tiered_rank_identity(thandle, oracle_index, q):
         for r in tiered_ranked_topk(thandle, q, k=20).collect()
     ]
     want = tiered_ranked_topk_oracle(oracle_index, q, k=20)
+    assert_rank_identical(got, want, rel_tol=1e-9)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_scored_rank_identity(thandle, oracle_index, q):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in scored_ranked_topk(thandle, q, k=20).collect()
+    ]
+    want = scored_ranked_topk_oracle(oracle_index, q, k=20)
     assert_rank_identical(got, want, rel_tol=1e-9)
 
 

@@ -50,6 +50,7 @@ public class GoldGen {
                 case "bool": boolQueries(args[1], args[2], args[3]); break;
                 case "ranked": rankedQueries(args[1], args[2], args[3]); break;
                 case "tranked": tieredRankedQueries(args[1], args[2], args[3]); break;
+                case "sranked": scoredRankedQueries(args[1], args[2], args[3]); break;
                 default: throw new IllegalArgumentException(args[0]);
             }
         } finally {
@@ -116,7 +117,12 @@ public class GoldGen {
     static void boolQueries(String dir, String queriesFile, String out) throws Exception {
         List<String> files = buildDisk(dir);
         DiskInvertedIndex dii = new DiskInvertedIndex(dir);
-        StringBuilder sb = new StringBuilder("{\n");
+        StringBuilder sb = new StringBuilder("{\n\"files\": [");
+        for (int i = 0; i < files.size(); i++) {
+            if (i > 0) sb.append(',');
+            sb.append(jstr(files.get(i)));
+        }
+        sb.append("],\n");
         List<String> queries = Files.readAllLines(Paths.get(queriesFile), StandardCharsets.UTF_8);
         for (int qi = 0; qi < queries.size(); qi++) {
             if (qi > 0) sb.append(",\n");
@@ -155,7 +161,12 @@ public class GoldGen {
     static void rankedQueries(String dir, String queriesFile, String out) throws Exception {
         List<String> files = buildDisk(dir);
         DiskInvertedIndex dii = new DiskInvertedIndex(dir);
-        StringBuilder sb = new StringBuilder("{\n");
+        StringBuilder sb = new StringBuilder("{\n\"files\": [");
+        for (int i = 0; i < files.size(); i++) {
+            if (i > 0) sb.append(',');
+            sb.append(jstr(files.get(i)));
+        }
+        sb.append("],\n");
         List<String> queries = Files.readAllLines(Paths.get(queriesFile), StandardCharsets.UTF_8);
         for (int qi = 0; qi < queries.size(); qi++) {
             if (qi > 0) sb.append(",\n");
@@ -188,7 +199,12 @@ public class GoldGen {
         QueryFrame.filenames = files.toArray(new String[0]);
         engine.simple.Milestone3.TieredDiskInvertedIndex tdii =
             new engine.simple.Milestone3.TieredDiskInvertedIndex(dir);
-        StringBuilder sb = new StringBuilder("{\n");
+        StringBuilder sb = new StringBuilder("{\n\"files\": [");
+        for (int i = 0; i < files.size(); i++) {
+            if (i > 0) sb.append(',');
+            sb.append(jstr(files.get(i)));
+        }
+        sb.append("],\n");
         List<String> queries = Files.readAllLines(Paths.get(queriesFile), StandardCharsets.UTF_8);
         for (int qi = 0; qi < queries.size(); qi++) {
             if (qi > 0) sb.append(",\n");
@@ -196,6 +212,45 @@ public class GoldGen {
                 new engine.simple.Milestone3.TieredRankedQueryParser(tdii);
             PriorityQueue<Map.Entry<Integer, Double>> pq =
                 trp.parseQuery(queries.get(qi).toLowerCase().trim(), qi);
+            sb.append("\"q").append(qi).append("\": {");
+            boolean first = true;
+            while (pq != null && !pq.isEmpty()) {
+                Map.Entry<Integer, Double> e = pq.poll();
+                if (!first) sb.append(',');
+                first = false;
+                sb.append(jstr(files.get(e.getKey()))).append(":\"")
+                  .append(Long.toUnsignedString(Double.doubleToLongBits(e.getValue())))
+                  .append('"');
+            }
+            sb.append('}');
+        }
+        sb.append("\n}\n");
+        Files.write(Paths.get(out), sb.toString().getBytes(StandardCharsets.UTF_8));
+    }
+
+    static void scoredRankedQueries(String dir, String queriesFile, String out) throws Exception {
+        // the inactive 'WithScore' variant: precomputed-score tiers
+        // (TieredIndexWriterWithScore + TieredRankedQueryParserWithScore)
+        SimpleEngine se = new SimpleEngine();
+        List<String> files = se.visitAllFiles(Paths.get(dir));
+        new engine.simple.Milestone3.TieredIndexWriterWithScore(dir, (double) files.size())
+            .buildIndex(se.getIndex());
+        QueryFrame.filenames = files.toArray(new String[0]);
+        engine.simple.Milestone3.TieredDiskInvertedIndexWithScore idx =
+            new engine.simple.Milestone3.TieredDiskInvertedIndexWithScore(dir);
+        StringBuilder sb = new StringBuilder("{\n\"files\": [");
+        for (int i = 0; i < files.size(); i++) {
+            if (i > 0) sb.append(',');
+            sb.append(jstr(files.get(i)));
+        }
+        sb.append("],\n");
+        List<String> queries = Files.readAllLines(Paths.get(queriesFile), StandardCharsets.UTF_8);
+        for (int qi = 0; qi < queries.size(); qi++) {
+            if (qi > 0) sb.append(",\n");
+            engine.simple.Milestone3.TieredRankedQueryParserWithScore p =
+                new engine.simple.Milestone3.TieredRankedQueryParserWithScore(idx);
+            PriorityQueue<Map.Entry<Integer, Double>> pq =
+                p.parseQuery(queries.get(qi).toLowerCase().trim(), qi);
             sb.append("\"q").append(qi).append("\": {");
             boolean first = true;
             while (pq != null && !pq.isEmpty()) {

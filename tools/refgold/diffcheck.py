@@ -176,13 +176,29 @@ def check_index(work: str, docs: dict[str, str]) -> int:
     return diffs
 
 
-def check_bool(work: str, oidx, queries: list[str]) -> int:
+def _oidx_in_walk_order(docs, gold):
+    """Oracle index with doc_ids in the JAVA run's exact walk order —
+    heap/HashMap tie-breaking depends on the docID permutation, and ext4
+    readdir order changes when a directory converts to htree, so every
+    GoldGen output carries its own `files` list."""
+    import pandas as pd
+
+    from searchengine_spark.oracle.refmodel import build_oracle_index
+
+    return build_oracle_index(
+        pd.DataFrame({"url": list(docs), "text": [docs[k] for k in docs]}),
+        order=gold["files"],
+    )
+
+
+def check_bool(work: str, docs, queries: list[str]) -> int:
     from searchengine_spark.oracle.boolmodel import boolean_query_oracle
 
     qf = os.path.join(work, "bool_queries.txt")
     open(qf, "w").write("\n".join(queries) + "\n")
     goldgen("bool", os.path.join(work, "docs"), qf, os.path.join(work, "bool.json"))
     gold = json.load(open(os.path.join(work, "bool.json")))
+    oidx = _oidx_in_walk_order(docs, gold)
     diffs = 0
     for i, q in enumerate(queries):
         g = gold[f"q{i}"]
@@ -201,7 +217,7 @@ def check_bool(work: str, oidx, queries: list[str]) -> int:
     return diffs
 
 
-def check_tranked(work: str, oidx, queries: list[str]) -> int:
+def check_tranked(work: str, docs, queries: list[str]) -> int:
     """Tiered (ACTIVE-config) ranked retrieval: bit-identical scores under
     tier fall-through, including heap-order tie tier membership."""
     from searchengine_spark.oracle.refmodel import tiered_ranked_topk_oracle
@@ -210,6 +226,7 @@ def check_tranked(work: str, oidx, queries: list[str]) -> int:
     open(qf, "w").write("\n".join(queries) + "\n")
     goldgen("tranked", os.path.join(work, "docs"), qf, os.path.join(work, "tranked.json"))
     gold = json.load(open(os.path.join(work, "tranked.json")))
+    oidx = _oidx_in_walk_order(docs, gold)
     diffs = 0
     for i, q in enumerate(queries):
         want = gold[f"q{i}"]
@@ -225,13 +242,39 @@ def check_tranked(work: str, oidx, queries: list[str]) -> int:
     return diffs
 
 
-def check_ranked(work: str, oidx, queries: list[str]) -> int:
+def check_sranked(work: str, docs, queries: list[str]) -> int:
+    """WithScore variant: bit-identical precomputed-score retrieval,
+    incl. HashMap<Integer>-order tie tier membership."""
+    from searchengine_spark.oracle.refmodel import scored_ranked_topk_oracle
+
+    qf = os.path.join(work, "sranked_queries.txt")
+    open(qf, "w").write("\n".join(queries) + "\n")
+    goldgen("sranked", os.path.join(work, "docs"), qf, os.path.join(work, "sranked.json"))
+    gold = json.load(open(os.path.join(work, "sranked.json")))
+    oidx = _oidx_in_walk_order(docs, gold)
+    diffs = 0
+    for i, q in enumerate(queries):
+        want = gold[f"q{i}"]
+        got = {
+            oidx.urls[d]: bits(s)
+            for d, s in scored_ranked_topk_oracle(oidx, q, k=1 << 30)
+        }
+        if got != want:
+            only_g = {k: v for k, v in got.items() if want.get(k) != v}
+            only_w = {k: v for k, v in want.items() if got.get(k) != v}
+            print(f"  SRANKED diff on {q!r}: ours={only_g} gold={only_w}")
+            diffs += 1
+    return diffs
+
+
+def check_ranked(work: str, docs, queries: list[str]) -> int:
     from searchengine_spark.oracle.refmodel import ranked_topk_oracle
 
     qf = os.path.join(work, "ranked_queries.txt")
     open(qf, "w").write("\n".join(queries) + "\n")
     goldgen("ranked", os.path.join(work, "docs"), qf, os.path.join(work, "ranked.json"))
     gold = json.load(open(os.path.join(work, "ranked.json")))
+    oidx = _oidx_in_walk_order(docs, gold)
     diffs = 0
     for i, q in enumerate(queries):
         want = gold[f"q{i}"]
@@ -269,16 +312,12 @@ def main() -> int:
                 )
                 d = check_index(work, docs)
                 if ascii_only:
-                    oidx = build_oracle_index(
-                        pd.DataFrame(
-                            {"url": list(docs), "text": [docs[k] for k in docs]}
-                        )
-                    )
                     rng = random.Random(seed * 7 + 1)
-                    d += check_bool(work, oidx, gen_bool_queries(rng, docs, args.queries))
+                    d += check_bool(work, docs, gen_bool_queries(rng, docs, args.queries))
                     rq = gen_ranked_queries(rng, docs, args.queries)
-                    d += check_ranked(work, oidx, rq)
-                    d += check_tranked(work, oidx, rq)
+                    d += check_ranked(work, docs, rq)
+                    d += check_tranked(work, docs, rq)
+                    d += check_sranked(work, docs, rq)
                 label = "ascii" if ascii_only else "unicode"
                 print(f"seed {seed} [{label}]: {'OK' if d == 0 else f'{d} DIFFS'}")
                 total += d
