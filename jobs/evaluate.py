@@ -26,6 +26,11 @@ def main() -> None:
     ap.add_argument("--qrels")
     ap.add_argument("--scorer", default="bm25", choices=["bm25", "tfidf_ref"])
     ap.add_argument("--k", type=int, default=20)
+    ap.add_argument(
+        "--matrix",
+        action="store_true",
+        help="evaluate ALL engine variants (the SimulateQueryRun analogue)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -47,6 +52,13 @@ def main() -> None:
         from searchengine_spark.corpus import generate_queries
 
         queries = generate_queries(225)
+
+    if args.matrix:
+        from searchengine_spark.evaluation import variant_matrix
+
+        print(json.dumps(variant_matrix(spark, args.index, queries, k=args.k), indent=1))
+        spark.stop()
+        return
 
     if args.qrels:
         qrels = {}

@@ -65,6 +65,65 @@ def topk_map(
     }
 
 
+def variant_matrix(
+    spark,
+    idx_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 20,
+) -> dict[str, dict]:
+    """The analogue of the reference's six-variant A/B harness
+    (SimulateQueryRun.java:33-87): MAP + throughput for every engine
+    variant against qrels synthesized from full tf-idf evaluation.
+    Variants needing the tiered artifacts are skipped when absent."""
+    import os
+    import time
+
+    from .query.exec import ranked_topk
+    from .query.serve import LocalIndexReader
+    from .query.tiered import (
+        TieredIndexHandle,
+        scored_ranked_topk,
+        tiered_ranked_topk,
+    )
+    from .query.wand import ranked_topk_wand
+
+    idx = IndexHandle(spark, idx_dir)
+    qrels = qrels_from_mode(idx, queries, k=k, scorer="tfidf_ref")
+    out: dict[str, dict] = {}
+    out["full_tfidf"] = topk_map(idx, queries, qrels, k=k, scorer="tfidf_ref")
+    out["full_bm25"] = topk_map(idx, queries, qrels, k=k, scorer="bm25")
+
+    def _per_query(name, fn):
+        t0 = time.time()
+        ap = {}
+        for qid, q in queries:
+            docs = [r["doc_id"] for r in fn(q)]
+            ap[qid] = average_precision(docs, qrels.get(qid, set()), k=k)
+        el = time.time() - t0
+        out[name] = {
+            "map": sum(ap.values()) / max(len(queries), 1),
+            "elapsed_sec": el,
+            "qps": len(queries) / max(el, 1e-9),
+        }
+
+    _per_query(
+        "wand_bm25", lambda q: ranked_topk_wand(idx, q, k=k, scorer="bm25").collect()
+    )
+    reader = LocalIndexReader(idx_dir)
+    _per_query("serve_bm25", lambda q: reader.ranked_topk(q, k=k, scorer="bm25"))
+    _per_query("serve_tfidf", lambda q: reader.ranked_topk(q, k=k, scorer="tfidf_ref"))
+    if os.path.isdir(os.path.join(idx_dir, "postings_tiered")):
+        th = TieredIndexHandle(spark, idx_dir)
+        _per_query("tiered_tfidf", lambda q: tiered_ranked_topk(th, q, k=k).collect())
+        if hasattr(th, "postings_scored"):
+            _per_query("scored_tfidf", lambda q: scored_ranked_topk(th, q, k=k).collect())
+    for name in out:
+        out[name] = {
+            kk: vv for kk, vv in out[name].items() if kk in ("map", "qps", "elapsed_sec")
+        }
+    return out
+
+
 def qrels_from_mode(
     idx: IndexHandle,
     queries: list[tuple[int, str]],

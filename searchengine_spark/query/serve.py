@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow.compute as pc
 import pyarrow.dataset as ds
 
-from ..index.varbyte import decode_sorted, vb_decode
+from ..index.varbyte import decode_position_lists, decode_sorted, vb_decode
 from .exec import BM25_B, BM25_K1, expand_ranked_query
 
 
@@ -152,3 +152,48 @@ class LocalIndexReader:
             }
             for i in top
         ]
+
+    # -- boolean -----------------------------------------------------------
+    def boolean_query(self, query: str) -> list[dict]:
+        """Boolean/phrase queries on the serving tier: the SAME planner as
+        the Spark path (query/boolean.BooleanPlanner — reference-exact
+        semantics), driven by a local backend whose plists come from a
+        pyarrow posting fetch. Returns [{'doc_id', 'url'}] doc_id-asc."""
+        from ..oracle.boolmodel import OracleBackend
+        from .boolean import BooleanPlanner, _RecordingBackend
+
+        rec = _RecordingBackend()
+        BooleanPlanner(rec).execute(query)
+        terms = sorted(t for t in rec.terms if t)
+        index: dict[str, list] = {}
+        if terms:
+            t = self.postings.to_table(
+                columns=["term", "docs_vb", "tfs_vb", "pos_vb"],
+                filter=pc.field("term").isin(terms),
+            )
+            for term, dvb, tvb, pvb in zip(
+                t["term"].to_pylist(),
+                t["docs_vb"].to_pylist(),
+                t["tfs_vb"].to_pylist(),
+                t["pos_vb"].to_pylist(),
+            ):
+                d = decode_sorted(dvb)
+                tf = vb_decode(tvb)
+                plists = decode_position_lists(pvb, tf)
+                index.setdefault(term, []).extend(
+                    (int(di), pi.tolist()) for di, pi in zip(d, plists)
+                )
+        for term in index:
+            index[term].sort(key=lambda x: x[0])
+
+        class _Shim:
+            pass
+
+        shim = _Shim()
+        shim.index = index
+        plist = BooleanPlanner(OracleBackend(shim)).execute(query)
+        if plist is None:
+            return []
+        doc_ids = np.asarray(sorted(d for d, _ in plist), dtype=np.int64)
+        meta = self._doc_meta(doc_ids)
+        return [{"doc_id": int(d), "url": meta[int(d)][0]} for d in doc_ids]

@@ -33,6 +33,23 @@ def test_map_self_consistency(spark, built_index):
     assert 0.0 < bm["map"] <= 1.0
 
 
+def test_variant_matrix(spark, built_index):
+    """All engine variants evaluated against full-tf-idf qrels: full tfidf
+    and its rank-identical replicas score MAP 1.0; lossy variants ≤ 1."""
+    from searchengine_spark.evaluation import variant_matrix
+    from searchengine_spark.index.tiered import build_tiered, build_tiered_scored
+
+    build_tiered(spark, built_index, bucket_docs=64)
+    build_tiered_scored(spark, built_index, bucket_docs=64)
+    queries = [(1, "fast data"), (2, "spark stream window"), (3, "the a")]
+    m = variant_matrix(spark, built_index, queries, k=10)
+    assert abs(m["full_tfidf"]["map"] - 1.0) < 1e-12
+    assert abs(m["serve_tfidf"]["map"] - 1.0) < 1e-12  # serving ≡ Spark path
+    assert m["wand_bm25"]["map"] == m["full_bm25"]["map"]  # exact pruning
+    for name in ("full_bm25", "tiered_tfidf", "scored_tfidf"):
+        assert 0.0 < m[name]["map"] <= 1.0, (name, m[name])
+
+
 # ---------------------------------------------------------- streaming ----
 
 def test_streaming_build_equals_batch(spark, small_corpus_pdf, built_index, tmp_path):

@@ -38,6 +38,26 @@ def test_serve_urls(reader, oracle_index):
         assert r["url"] == oracle_index.urls[r["doc_id"]]
 
 
+BOOL_QUERIES = [
+    "spark merge",
+    "spark + merge + vector",
+    "spark -slow",
+    '"state of"',
+    '"fast key" table',
+    "spark -zzzmissing",  # reference null-propagation quirk
+    "snake_case spark",
+    "((( -spark",
+]
+
+
+@pytest.mark.parametrize("q", BOOL_QUERIES)
+def test_serve_boolean(reader, oracle_index, q):
+    from searchengine_spark.oracle.boolmodel import boolean_query_oracle
+
+    got = [r["doc_id"] for r in reader.boolean_query(q)]
+    assert got == boolean_query_oracle(oracle_index, q), q
+
+
 def test_serve_latency(reader):
     reader.ranked_topk("fast data", k=20)  # warm the dataset handles
     t0 = time.time()
