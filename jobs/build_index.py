@@ -23,6 +23,7 @@ def main() -> None:
     ap.add_argument("--bucket-docs", type=int, default=1 << 17)
     ap.add_argument("--chunk-docs", type=int, default=None)
     ap.add_argument("--tiered", action="store_true", help="also build the 3-tier parity variant")
+    ap.add_argument("--compact", action="store_true", help="merge chunked posting blocks after the build")
     ap.add_argument("--synth", type=int, default=0, help="generate N synthetic pages instead of --pages")
     args = ap.parse_args()
 
@@ -56,6 +57,10 @@ def main() -> None:
         stats["tiered_scored"] = build_tiered_scored(
             spark, args.out, bucket_docs=args.bucket_docs
         )
+    if args.compact:
+        from searchengine_spark.index.compact import compact_index
+
+        stats["compaction"] = compact_index(spark, args.out)
     print(json.dumps(stats, default=str))
     spark.stop()
 

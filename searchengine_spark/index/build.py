@@ -134,6 +134,32 @@ def _encode_block(
     return pd.DataFrame({"docs_vb": out_d, "tfs_vb": out_t, "pos_vb": out_p})
 
 
+ENC4_SCHEMA = T.StructType(
+    ENC_SCHEMA.fields + [T.StructField("dls_vb", T.BinaryType())]
+)
+
+
+@F.pandas_udf(ENC4_SCHEMA)
+def _encode_block_with_dl(
+    doc_ids: pd.Series, tfs: pd.Series, pos_flat: pd.Series, dls: pd.Series
+) -> pd.DataFrame:
+    """As _encode_block plus a varbyte per-posting doc-length array —
+    denormalized so BM25 scoring never joins the docs table per candidate
+    row (the norm lives next to the posting, as real engines store it);
+    only the ≤k winners fetch doc metadata."""
+    out_d, out_t, out_p, out_l = [], [], [], []
+    for d, t, p, dl in zip(doc_ids, tfs, pos_flat, dls):
+        da = np.asarray(d, dtype=np.int64)
+        ta = np.asarray(t, dtype=np.int64)
+        out_d.append(encode_sorted(da))
+        out_t.append(vb_encode(ta))
+        out_p.append(encode_positions_flat(np.asarray(p, dtype=np.int64), ta))
+        out_l.append(vb_encode(np.asarray(dl, dtype=np.int64)))
+    return pd.DataFrame(
+        {"docs_vb": out_d, "tfs_vb": out_t, "pos_vb": out_p, "dls_vb": out_l}
+    )
+
+
 # --------------------------------------------------------------------------
 # build
 # --------------------------------------------------------------------------
@@ -170,12 +196,12 @@ def build_postings_for_docs(
     dt = dt.withColumn(
         "bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("int")
     )
-    # the sorted struct carries only what the encoder needs; per-doc dl/ld
-    # enter the per-block stats through separate min() aggregates, keeping
-    # the shuffled/sorted payload minimal
+    # the sorted struct carries the encoder inputs incl. the per-posting
+    # doc length (denormalized norm for join-free BM25 scoring); per-doc
+    # ld enters the block stats through a separate min() aggregate
     grouped = dt.groupBy("term", "bucket").agg(
         F.sort_array(
-            F.collect_list(F.struct("doc_id", "tf", "positions"))
+            F.collect_list(F.struct("doc_id", "tf", "positions", "dl"))
         ).alias("plist"),
         F.count(F.lit(1)).cast("int").alias("df_b"),
         F.sum("tf").alias("cf_b"),
@@ -201,9 +227,13 @@ def build_postings_for_docs(
         F.expr("transform(plist, x -> x.doc_id)").alias("d_arr"),
         F.expr("transform(plist, x -> x.tf)").alias("t_arr"),
         F.expr("flatten(transform(plist, x -> x.positions))").alias("p_flat"),
+        F.expr("transform(plist, x -> x.dl)").alias("dl_arr"),
     )
     enc = grouped.withColumn(
-        "enc", _encode_block(F.col("d_arr"), F.col("t_arr"), F.col("p_flat"))
+        "enc",
+        _encode_block_with_dl(
+            F.col("d_arr"), F.col("t_arr"), F.col("p_flat"), F.col("dl_arr")
+        ),
     )
     return enc.select(
         "term",
@@ -221,6 +251,7 @@ def build_postings_for_docs(
         F.col("enc.docs_vb").alias("docs_vb"),
         F.col("enc.tfs_vb").alias("tfs_vb"),
         F.col("enc.pos_vb").alias("pos_vb"),
+        F.col("enc.dls_vb").alias("dls_vb"),
     )
 
 

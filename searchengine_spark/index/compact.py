@@ -1,0 +1,158 @@
+"""Index compaction — LSM-style merge of chunked posting blocks.
+
+Chunked batch builds and streaming ingest both append postings as
+``chunk=…`` directories; a long-lived index accumulates many small
+blocks per (term, bucket), which multiplies scan row-groups and decode
+calls. Compaction merges every (term, bucket) group's blocks into one:
+decode → concatenate (doc ranges across chunks are disjoint) → re-sort
+by docID → re-encode, recomputing the block stats (df/cf/max_tf/min_dl/
+min_ld/doc range/block-max). Skew stays bounded: the merge key is the
+same (term, bucket) range-salt as the build, so no group exceeds
+bucket_docs postings.
+
+Commit protocol (crash-safe, mirrors the build's manifest discipline):
+write ``postings_compacted``, verify Σdf_b matches the live postings,
+atomically swap directories (old postings moved aside, then removed),
+rebuild the lexicon, commit the manifest last.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .varbyte import (
+    decode_position_lists,
+    decode_sorted,
+    encode_positions_flat,
+    encode_sorted,
+    vb_decode,
+    vb_encode,
+)
+
+_OUT_SCHEMA = (
+    "term string, bucket int, df_b int, cf_b long, max_tf long, min_dl int, "
+    "min_ld double, doc_first long, doc_last long, max_wdt double, "
+    "docs_vb binary, tfs_vb binary, pos_vb binary, dls_vb binary"
+)
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for (term, bucket), g in pdf.groupby(["term", "bucket"], sort=False):
+        ds, tfs, dls, poss = [], [], [], []
+        for dvb, tvb, lvb, pvb in zip(
+            g["docs_vb"], g["tfs_vb"], g["dls_vb"], g["pos_vb"]
+        ):
+            d = decode_sorted(bytes(dvb))
+            t = vb_decode(bytes(tvb)).astype(np.int64)
+            ds.append(d)
+            tfs.append(t)
+            dls.append(vb_decode(bytes(lvb)).astype(np.int64))
+            poss.extend(decode_position_lists(bytes(pvb), t))
+        d = np.concatenate(ds)
+        t = np.concatenate(tfs)
+        dl = np.concatenate(dls)
+        order = np.argsort(d, kind="stable")
+        d, t, dl = d[order], t[order], dl[order]
+        flat = (
+            np.concatenate([poss[i] for i in order])
+            if poss
+            else np.empty(0, dtype=np.int64)
+        )
+        out.append(
+            (
+                term,
+                bucket,
+                int(d.size),
+                int(t.sum()),
+                int(t.max()),
+                int(g["min_dl"].min()),
+                float(g["min_ld"].min()),
+                int(d.min()),
+                int(d.max()),
+                1.0 + math.log(int(t.max())),
+                encode_sorted(d),
+                vb_encode(t),
+                encode_positions_flat(flat, t),
+                vb_encode(dl),
+            )
+        )
+    return pd.DataFrame(
+        out,
+        columns=[
+            "term", "bucket", "df_b", "cf_b", "max_tf", "min_dl", "min_ld",
+            "doc_first", "doc_last", "max_wdt", "docs_vb", "tfs_vb", "pos_vb",
+            "dls_vb",
+        ],
+    )
+
+
+def compact_index(spark: SparkSession, idx_dir: str) -> dict:
+    t0 = time.time()
+    post_dir = os.path.join(idx_dir, "postings")
+    post = spark.read.option("basePath", post_dir).parquet(post_dir)
+    before = post.agg(
+        F.count(F.lit(1)).alias("blocks"), F.sum("df_b").alias("postings")
+    ).collect()[0]
+
+    merged = (
+        post.select(
+            "term", "bucket", "min_dl", "min_ld", "docs_vb", "tfs_vb", "pos_vb",
+            "dls_vb",
+        )
+        .groupBy("term", "bucket")
+        .applyInPandas(lambda pdf: _merge_group(pdf), schema=_OUT_SCHEMA)
+    )
+    new_dir = os.path.join(idx_dir, "postings_compacted")
+    merged.repartition(
+        max(spark.sparkContext.defaultParallelism, 4), "term"
+    ).sortWithinPartitions("term", "bucket").write.mode("overwrite").parquet(
+        os.path.join(new_dir, "chunk=compacted")
+    )
+
+    new = spark.read.option("basePath", new_dir).parquet(new_dir)
+    after = new.agg(
+        F.count(F.lit(1)).alias("blocks"), F.sum("df_b").alias("postings")
+    ).collect()[0]
+    if int(after["postings"] or 0) != int(before["postings"] or 0):
+        raise RuntimeError(
+            f"compaction postings mismatch: {after['postings']} != {before['postings']}"
+        )
+
+    old_dir = os.path.join(idx_dir, "postings_old")
+    os.rename(post_dir, old_dir)
+    os.rename(new_dir, post_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+
+    # lexicon totals are unchanged but n_blocks shrank — rebuild
+    live = spark.read.option("basePath", post_dir).parquet(post_dir)
+    live.groupBy("term").agg(
+        F.sum("df_b").cast("long").alias("df"),
+        F.sum("cf_b").cast("long").alias("cf"),
+        F.max("max_tf").alias("max_tf"),
+        F.max("max_wdt").alias("max_wdt"),
+        F.count(F.lit(1)).alias("n_blocks"),
+    ).write.mode("overwrite").parquet(os.path.join(idx_dir, "lexicon"))
+
+    payload = {
+        "stage": "compaction",
+        "blocks_before": int(before["blocks"]),
+        "blocks_after": int(after["blocks"]),
+        "postings": int(after["postings"] or 0),
+        "elapsed_sec": time.time() - t0,
+    }
+    man = os.path.join(idx_dir, "_manifests", f"compaction_{int(before['blocks'])}.json")
+    tmp = man + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.replace(tmp, man)
+    return payload

@@ -81,12 +81,39 @@ class IndexHandle:
 
 
 def _decode_blocks(batches):
-    """mapInPandas kernel: posting blocks → (term, doc_id, tf) rows.
-    numpy-vectorized; Python touches blocks, not postings."""
+    """mapInPandas kernel: posting blocks → (term, doc_id, tf, dl) rows.
+    numpy-vectorized; Python touches blocks, not postings. dl is the
+    denormalized per-posting doc length — BM25 scoring needs no join."""
     for pdf in batches:
         terms_out: list[np.ndarray] = []
         docs_out: list[np.ndarray] = []
         tfs_out: list[np.ndarray] = []
+        dls_out: list[np.ndarray] = []
+        for term, dvb, tvb, lvb in zip(
+            pdf["term"], pdf["docs_vb"], pdf["tfs_vb"], pdf["dls_vb"]
+        ):
+            d = decode_sorted(bytes(dvb))
+            t = vb_decode(bytes(tvb)).astype(np.int64)
+            terms_out.append(np.repeat(np.array([term], dtype=object), len(d)))
+            docs_out.append(d)
+            tfs_out.append(t)
+            dls_out.append(vb_decode(bytes(lvb)).astype(np.int64))
+        if terms_out:
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms_out),
+                    "doc_id": np.concatenate(docs_out),
+                    "tf": np.concatenate(tfs_out),
+                    "dl": np.concatenate(dls_out),
+                }
+            )
+
+
+def _decode_blocks_plain(batches):
+    """3-column variant (term, doc_id, tf) for tables without the
+    denormalized dls_vb column (the tiered parity variants)."""
+    for pdf in batches:
+        terms_out, docs_out, tfs_out = [], [], []
         for term, dvb, tvb in zip(pdf["term"], pdf["docs_vb"], pdf["tfs_vb"]):
             d = decode_sorted(bytes(dvb))
             t = vb_decode(bytes(tvb)).astype(np.int64)
@@ -107,10 +134,10 @@ def decoded_postings(idx: IndexHandle, terms: list[str]) -> DataFrame:
     """Bucket-pruned scan (parquet row-group min/max on the term-sorted
     files is the 'vocab binary search' analogue, SURVEY §4) + decode."""
     blocks = idx.postings.filter(F.col("term").isin(list(set(terms)))).select(
-        "term", "docs_vb", "tfs_vb"
+        "term", "docs_vb", "tfs_vb", "dls_vb"
     )
     return blocks.mapInPandas(
-        _decode_blocks, schema="term string, doc_id long, tf long"
+        _decode_blocks, schema="term string, doc_id long, tf long, dl long"
     )
 
 
@@ -205,25 +232,28 @@ def ranked_topk(
             cand.select("doc_id", partial.alias("partial"))
             .groupBy("doc_id")
             .agg(F.sum("partial").alias("acc"))
-            .join(idx.docs, "doc_id")
-            .select(
-                "doc_id", "url", (F.col("acc") / F.col("ld")).alias("score")
-            )
+            .join(idx.docs.select("doc_id", "ld"), "doc_id")
+            .select("doc_id", (F.col("acc") / F.col("ld")).alias("score"))
         )
-    else:  # bm25
+    else:  # bm25 — dl rides the decoded posting; no docs join on candidates
         avgdl = float(idx.meta["avgdl"])
-        cand = cand.join(idx.docs.select("doc_id", "url", "dl"), "doc_id")
         tf = F.col("tf").cast("double")
         norm = F.lit(BM25_K1) * (
             F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl)
         )
         partial = F.col("wqt") * tf * F.lit(BM25_K1 + 1.0) / (tf + norm)
         scored = (
-            cand.select("doc_id", "url", partial.alias("partial"))
-            .groupBy("doc_id", "url")
+            cand.select("doc_id", partial.alias("partial"))
+            .groupBy("doc_id")
             .agg(F.sum("partial").alias("score"))
         )
-    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # only the ≤k winners fetch doc metadata
+    return (
+        topk.join(idx.docs.select("doc_id", "url"), "doc_id")
+        .select("doc_id", "url", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
 
 
 def ranked_topk_batch(
@@ -279,10 +309,10 @@ def ranked_topk_batch(
             cand.select("qid", "doc_id", partial.alias("partial"))
             .groupBy("qid", "doc_id")
             .agg(F.sum("partial").alias("acc"))
-            .join(idx.docs.select("doc_id", "url", "ld"), "doc_id")
-            .select("qid", "doc_id", "url", (F.col("acc") / F.col("ld")).alias("score"))
+            .join(idx.docs.select("doc_id", "ld"), "doc_id")
+            .select("qid", "doc_id", (F.col("acc") / F.col("ld")).alias("score"))
         )
-    else:
+    else:  # bm25: dl is decoded with the posting — no docs join on candidates
         avgdl = float(idx.meta["avgdl"])
         tf = F.col("tf").cast("double")
         norm = F.lit(BM25_K1) * (
@@ -290,16 +320,18 @@ def ranked_topk_batch(
         )
         partial = F.col("wqt") * tf * F.lit(BM25_K1 + 1.0) / (tf + norm)
         scored = (
-            cand.join(idx.docs.select("doc_id", "url", "dl"), "doc_id")
-            .select("qid", "doc_id", "url", partial.alias("partial"))
-            .groupBy("qid", "doc_id", "url")
+            cand.select("qid", "doc_id", partial.alias("partial"))
+            .groupBy("qid", "doc_id")
             .agg(F.sum("partial").alias("score"))
         )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("qid", "rank", "doc_id", "url", "score")
+    )
+    # url only for the ≤ n_queries·k winners
+    return ranked.join(idx.docs.select("doc_id", "url"), "doc_id").select(
+        "qid", "rank", "doc_id", "url", "score"
     )

@@ -37,12 +37,16 @@ from .exec import BM25_B, BM25_K1, expand_ranked_query
 
 
 class LocalIndexReader:
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, cache_terms: int = 4096) -> None:
         self.path = path
         self.postings = ds.dataset(os.path.join(path, "postings"))
         self.lexicon = ds.dataset(os.path.join(path, "lexicon"))
         self.docs = ds.dataset(os.path.join(path, "docs"))
         self.meta = json.load(open(os.path.join(path, "_manifests", "meta.json")))
+        # hot-term posting cache (decoded doc/tf/dl arrays) — the RAM
+        # cache a real serving shard keeps; 0 disables
+        self._cache_cap = cache_terms
+        self._term_cache: dict[str, list] = {}
 
     # -- lookups -----------------------------------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, int]:
@@ -53,39 +57,75 @@ class LocalIndexReader:
 
     def _blocks(self, terms: list[str]):
         return self.postings.to_table(
-            columns=["term", "docs_vb", "tfs_vb"],
+            columns=["term", "docs_vb", "tfs_vb", "dls_vb"],
             filter=pc.field("term").isin(terms),
         )
 
     def _doc_meta(self, doc_ids: np.ndarray) -> dict[int, tuple]:
+        """Metadata for the ≤k winners only — an isin filter row-group
+        prunes the url-bearing docs scan instead of ranging over it."""
         if doc_ids.size == 0:
             return {}
-        lo, hi = int(doc_ids.min()), int(doc_ids.max())
         t = self.docs.to_table(
             columns=["doc_id", "url", "dl", "ld"],
-            filter=(pc.field("doc_id") >= lo) & (pc.field("doc_id") <= hi),
+            filter=pc.field("doc_id").isin([int(d) for d in doc_ids]),
         )
-        want = set(doc_ids.tolist())
-        out = {}
-        for d, u, dl, ld in zip(
-            t["doc_id"].to_pylist(), t["url"].to_pylist(), t["dl"].to_pylist(), t["ld"].to_pylist()
-        ):
-            if d in want:
-                out[d] = (u, dl, ld)
-        return out
+        return {
+            d: (u, dl, ld)
+            for d, u, dl, ld in zip(
+                t["doc_id"].to_pylist(),
+                t["url"].to_pylist(),
+                t["dl"].to_pylist(),
+                t["ld"].to_pylist(),
+            )
+        }
 
     def _doc_norms(self, col: str, doc_ids: np.ndarray) -> np.ndarray:
-        """Vector of dl or ld aligned with doc_ids (candidate set)."""
+        """Vector of dl or ld aligned with doc_ids (candidate set) —
+        tfidf parity mode only; BM25 reads dl off the posting blocks."""
         lo, hi = int(doc_ids.min()), int(doc_ids.max())
         t = self.docs.to_table(
             columns=["doc_id", col],
             filter=(pc.field("doc_id") >= lo) & (pc.field("doc_id") <= hi),
         )
-        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
-        vals = np.asarray(t[col].to_pylist(), dtype=np.float64)
+        ids = t["doc_id"].to_numpy()
+        vals = t[col].to_numpy().astype(np.float64)
         order = np.argsort(ids)
         pos = np.searchsorted(ids[order], doc_ids)
         return vals[order][pos]
+
+    def _decoded_terms(self, terms: list[str]) -> list[tuple]:
+        """[(term, doc_ids, tfs, dls)] — decoded once per term, cached."""
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            blocks = self._blocks(missing)
+            fresh: dict[str, list] = {t: [] for t in missing}
+            for term, dvb, tvb, lvb in zip(
+                blocks["term"].to_pylist(),
+                blocks["docs_vb"].to_pylist(),
+                blocks["tfs_vb"].to_pylist(),
+                blocks["dls_vb"].to_pylist(),
+            ):
+                fresh[term].append(
+                    (
+                        decode_sorted(dvb),
+                        vb_decode(tvb).astype(np.float64),
+                        vb_decode(lvb).astype(np.float64),
+                    )
+                )
+            for t, parts in fresh.items():
+                if not parts:
+                    continue
+                entry = [
+                    t,
+                    np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]),
+                    np.concatenate([p[2] for p in parts]),
+                ]
+                if len(self._term_cache) >= self._cache_cap:
+                    self._term_cache.pop(next(iter(self._term_cache)))
+                self._term_cache[t] = entry
+        return [tuple(self._term_cache[t]) for t in terms if t in self._term_cache]
 
     # -- ranked ------------------------------------------------------------
     def ranked_topk(
@@ -107,37 +147,31 @@ class LocalIndexReader:
             else:
                 wqt[t] = math.log((n - df + 0.5) / (df + 0.5) + 1.0) * mult[t]
 
-        blocks = self._blocks(sorted(wqt))
-        decoded = []  # (term, doc_ids, tfs)
-        for term, dvb, tvb in zip(
-            blocks["term"].to_pylist(),
-            blocks["docs_vb"].to_pylist(),
-            blocks["tfs_vb"].to_pylist(),
-        ):
-            decoded.append((term, decode_sorted(dvb), vb_decode(tvb).astype(np.float64)))
+        decoded = self._decoded_terms(sorted(wqt))
         if not decoded:
             return []
-        docs_cat = np.concatenate([d for _, d, _ in decoded])
+        docs_cat = np.concatenate([d for _, d, _, _ in decoded])
         uniq, inv = np.unique(docs_cat, return_inverse=True)
-        acc = np.zeros(uniq.size, dtype=np.float64)
+        # one buffered bincount beats per-term np.add.at (unbuffered
+        # scatter) by ~10x on stopword-sized candidate sets
         if scorer == "tfidf_ref":
-            off = 0
-            for term, d, tf in decoded:
-                np.add.at(acc, inv[off : off + d.size], (1.0 + np.log(tf)) * wqt[term])
-                off += d.size
+            partials = np.concatenate(
+                [(1.0 + np.log(tf)) * wqt[term] for term, _, tf, _ in decoded]
+            )
+            acc = np.bincount(inv, weights=partials, minlength=uniq.size)
             scores = acc / self._doc_norms("ld", uniq)
-        else:
-            dl = self._doc_norms("dl", uniq)
+        else:  # bm25: dl decoded alongside the posting — no docs scan at all
             avgdl = float(self.meta["avgdl"])
-            off = 0
-            for term, d, tf in decoded:
-                seg = inv[off : off + d.size]
-                norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl[seg] / avgdl)
-                np.add.at(
-                    acc, seg, wqt[term] * tf * (BM25_K1 + 1.0) / (tf + norm)
-                )
-                off += d.size
-            scores = acc
+            partials = np.concatenate(
+                [
+                    wqt[term]
+                    * tf
+                    * (BM25_K1 + 1.0)
+                    / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+                    for term, _, tf, dl in decoded
+                ]
+            )
+            scores = np.bincount(inv, weights=partials, minlength=uniq.size)
 
         k = min(k, uniq.size)
         # exact (score desc, doc_id asc) order — lexsort keeps score ties

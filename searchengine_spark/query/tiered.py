@@ -23,7 +23,7 @@ from collections import Counter
 
 from pyspark.sql import DataFrame, functions as F
 
-from .exec import IndexHandle, _decode_blocks, expand_ranked_query
+from .exec import IndexHandle, _decode_blocks_plain, expand_ranked_query
 
 RETRIEVE_K = 20  # TieredRankedQueryParser.java:147
 
@@ -105,7 +105,7 @@ def tiered_ranked_topk(
         "term", "docs_vb", "tfs_vb"
     )
     decoded = blocks.mapInPandas(
-        _decode_blocks, schema="term string, doc_id long, tf long"
+        _decode_blocks_plain, schema="term string, doc_id long, tf long"
     )
     qw_df = F.broadcast(spark.createDataFrame(weights, "term string, wqt double"))
     partial = (F.lit(1.0) + F.log(F.col("tf").cast("double"))) * F.col("wqt")

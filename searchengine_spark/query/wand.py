@@ -75,10 +75,10 @@ def _score_buckets(
     blocks = (
         idx.postings.filter(F.col("term").isin([t for t, _ in qw]))
         .join(F.broadcast(buckets), "bucket")
-        .select("term", "docs_vb", "tfs_vb")
+        .select("term", "docs_vb", "tfs_vb", "dls_vb")
     )
     decoded = blocks.mapInPandas(
-        _decode_blocks, schema="term string, doc_id long, tf long"
+        _decode_blocks, schema="term string, doc_id long, tf long, dl long"
     )
     qw_df = F.broadcast(spark.createDataFrame(qw, "term string, wqt double"))
     cand = decoded.join(qw_df, "term")
@@ -98,8 +98,7 @@ def _score_buckets(
     )
     partial = F.col("wqt") * tf * F.lit(BM25_K1 + 1.0) / (tf + norm)
     return (
-        cand.join(idx.docs.select("doc_id", "dl"), "doc_id")
-        .select("doc_id", partial.alias("partial"))
+        cand.select("doc_id", partial.alias("partial"))
         .groupBy("doc_id")
         .agg(F.sum("partial").alias("score"))
     )

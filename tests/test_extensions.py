@@ -88,6 +88,48 @@ def test_streaming_build_equals_batch(spark, small_corpus_pdf, built_index, tmp_
         assert s == bt, q
 
 
+def test_compaction_preserves_results(spark, small_corpus_pdf, tmp_path):
+    """Streaming build (multi-chunk, fragmented blocks) → compaction must
+    shrink block count while serving identical ranked + boolean results."""
+    from searchengine_spark.index.compact import compact_index
+    from searchengine_spark.query.boolean import boolean_query
+    from searchengine_spark.streaming.incremental import StreamingIndexBuilder
+
+    pages_dir = str(tmp_path / "pages_c")
+    out_dir = str(tmp_path / "cindex")
+    spark.createDataFrame(small_corpus_pdf).repartition(6).write.parquet(pages_dir)
+    b = StreamingIndexBuilder(spark, out_dir, bucket_docs=64)
+    b.run_available(pages_dir, max_files_per_trigger=2)  # ≥3 chunks
+    b.finalize()
+
+    idx0 = IndexHandle(spark, out_dir)
+    before = {
+        q: [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ranked_topk(idx0, q, k=10, scorer="bm25").collect()
+        ]
+        for q in ["fast data", "the", "spark stream window"]
+    }
+    bool_before = [
+        r["doc_id"] for r in boolean_query(idx0, '"state of" -slow', with_urls=False).collect()
+    ]
+
+    stats = compact_index(spark, out_dir)
+    assert stats["blocks_after"] < stats["blocks_before"], stats
+
+    idx1 = IndexHandle(spark, out_dir)
+    for q, want in before.items():
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ranked_topk(idx1, q, k=10, scorer="bm25").collect()
+        ]
+        assert got == want, q
+    bool_after = [
+        r["doc_id"] for r in boolean_query(idx1, '"state of" -slow', with_urls=False).collect()
+    ]
+    assert bool_after == bool_before
+
+
 # --------------------------------------------------------- multimodal ----
 
 def test_multimodal_features(spark):

@@ -4,13 +4,23 @@
 Generates FRESH seeded fuzz corpora (never the checked-in fixtures), runs
 the real Java engine via tools/refgold/GoldGen.java, and asserts:
 
-  index  — positional index identical term-for-term / position-for-position,
-           docWeights (Ld) bit-identical float64 (HashMap-order summation
-           replayed by searchengine_spark.text.javahash)
-  bool   — M2 BooleanQueryParser result doc sets identical per query
-           (compared as file names, walk-order independent)
-  ranked — M2 RankedQueryParser accumulator scores bit-identical float64
-           per (query, doc)
+  index   — positional index identical term-for-term / position-for-position,
+            docWeights (Ld) bit-identical float64 (HashMap-order summation
+            replayed by searchengine_spark.text.javahash)
+  bool    — M2 BooleanQueryParser result doc sets identical per query
+            (compared as file names; Java NPE crashes recorded and mapped
+            to our defined no-match)
+  ranked  — M2 RankedQueryParser accumulator scores bit-identical float64
+            per (query, doc)
+  tranked — M3 TieredRankedQueryParser (ACTIVE config): bit-identical under
+            tier fall-through, incl. PriorityQueue tie tier membership
+  sranked — M3 WithScore variant: bit-identical precomputed-score
+            retrieval, incl. HashMap<Integer>-order tie tier membership
+
+Tie-breaking depends on the docID permutation, and the reference's docIDs
+follow filesystem readdir order (which flips when ext4 converts the docs
+directory to htree) — every GoldGen output therefore carries its own
+`files` walk order, and each check builds its oracle in that exact order.
 
 Usage:  python tools/refgold/diffcheck.py [--seeds 101 102] [--docs 80]
 Exit 0 = zero diffs.  Unicode fuzz only exercises the in-memory `index`
