@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
-from ..text.udfs import tokenize_doc
+from ..text.udfs import extract_text, tokenize_doc
 from .varbyte import encode_positions_flat, encode_sorted, vb_encode
 
 DEFAULT_BUCKET_DOCS = 1 << 17  # 131,072 docs per posting block row
@@ -295,6 +295,17 @@ class IndexBuilder:
             # sort then move raw pages (~hundreds of bytes/row), not
             # tokenized posting structs; tokenization happens as a pure
             # projection inside the single write pass
+            # rows carrying only html get their text extracted here (the
+            # Arrow-UDF analogue of the reference's body read,
+            # SimpleEngine.java:114; byte-identity tested per url)
+            cols = set(pages.columns)
+            if "html" in cols:
+                text_col = (
+                    F.coalesce(F.col("text"), extract_text(F.col("html")))
+                    if "text" in cols
+                    else extract_text(F.col("html"))
+                )
+                pages = pages.withColumn("text", text_col)
             with_ids = assign_dense_ids(
                 pages.select("url", "warc_ts", "lang", "text"), order_col="url"
             )

@@ -80,6 +80,30 @@ def test_lexicon_df(spark, built_index, oracle_index):
         assert rows[t]["cf"] == sum(len(p) for _, p in plist)
 
 
+def test_build_from_html_only(spark, small_corpus_pdf, built_index, tmp_path):
+    """Pages carrying ONLY html (text null) index identically: the build
+    extracts text via the Arrow UDF (byte-identity invariant)."""
+    from searchengine_spark.index.build import IndexBuilder
+    from searchengine_spark.query.exec import IndexHandle, ranked_topk
+
+    sub = small_corpus_pdf.head(80).copy()
+    pages = spark.createDataFrame(sub).withColumn(
+        "text", F.lit(None).cast("string")
+    )
+    out = str(tmp_path / "html_idx")
+    IndexBuilder(spark, out, bucket_docs=64).build(pages)
+
+    ref_pages = spark.createDataFrame(sub)
+    out2 = str(tmp_path / "text_idx")
+    IndexBuilder(spark, out2, bucket_docs=64).build(ref_pages)
+    for q in ["fast data", "state-of"]:
+        a = [(r["url"], round(r["score"], 9))
+             for r in ranked_topk(IndexHandle(spark, out), q, k=10, scorer="bm25").collect()]
+        b = [(r["url"], round(r["score"], 9))
+             for r in ranked_topk(IndexHandle(spark, out2), q, k=10, scorer="bm25").collect()]
+        assert a == b, q
+
+
 def test_resume_skips_committed_chunks(spark, small_corpus_pdf, built_index):
     """Re-running build over an already-complete directory must do no
     chunk work (all manifests committed) and leave results identical."""
