@@ -467,6 +467,78 @@ def _q_doc_fingerprint(spark, sf):
     )
 
 
+def _events(spark, sf):
+    return spark.read.parquet(f"{sf}/events.parquet")
+
+
+def _q_events_windowed(spark, sf):
+    """Tumbling 1-hour event-time windows per event_type (the batch shape
+    of the streaming windowed agg; readStream swaps in for live data)."""
+    return (
+        _events(spark, sf)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_SESSION_GAP_MIN = 30
+
+
+def _q_events_sessions(spark, sf):
+    """Gap-based sessionization (30-min inactivity) per user: classic
+    lag → new-session flag → running session id → per-user rollup."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC so the epoch matches
+    # DuckDB's epoch() on the naive value
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    ev = _events(spark, sf).select("user_id", "ts")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            epoch - F.lag(epoch).over(w) > _SESSION_GAP_MIN * 60,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_s").over(w))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_ev").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _q_events_json(spark, sf):
+    """JSON prop extraction + aggregate per event_type."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        _events(spark, sf)
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_lang_stats(spark, sf):
     return (
         _docs(spark, sf)
@@ -518,6 +590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_stats": _q_lang_stats,
         "quality_scores": _q_quality_scores,
+        "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
+        "events_json": _q_events_json,
     }
 
 
@@ -696,6 +771,31 @@ def oracle_sql() -> dict[str, str]:
         "lang_stats": """
             SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars
             FROM documents GROUP BY lang ORDER BY lang""",
+        "events_windowed": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+        "events_sessions": f"""
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                          > {_SESSION_GAP_MIN} * 60 THEN 1 ELSE 0 END AS new_s
+              FROM events),
+                 sess AS (
+              SELECT user_id,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged),
+                 per_session AS (
+              SELECT user_id, session_id, count(*) AS n_ev
+              FROM sess GROUP BY user_id, session_id)
+            SELECT user_id, count(*) AS n_sessions, max(n_ev) AS max_session_events
+            FROM per_session GROUP BY user_id ORDER BY user_id""",
+        "events_json": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "quality_scores": """
             SELECT doc_id, len(toks) AS n_tokens,
                    round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_ratio,

@@ -1,0 +1,61 @@
+"""Watermarked event-time windowed aggregation (Structured Streaming).
+
+The reference has no streaming surface (SURVEY §2.7 ABSENT); this is the
+engine extension for live crawl/event telemetry: files landing in a
+directory stream through a tumbling event-time window with a late-data
+watermark. The batch-mode shape of the same aggregation is the driver
+query ``events_windowed`` (__spark_entry__.py) — the streaming result
+over a drained directory must equal it (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def windowed_counts_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    sink_table: str = "windowed_counts",
+) -> DataFrame:
+    """Drain events_dir (availableNow) through a watermarked tumbling
+    window into an in-memory sink; returns the result DataFrame.
+    Production swaps the trigger for continuous micro-batches and the
+    sink for an append table."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    # watermarks require TIMESTAMP (with tz); session tz is pinned UTC so
+    # the NTZ values map 1:1
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_table)

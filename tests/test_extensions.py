@@ -130,6 +130,32 @@ def test_compaction_preserves_results(spark, small_corpus_pdf, tmp_path):
     assert bool_after == bool_before
 
 
+def test_streaming_windowed_agg_equals_batch(spark, tmp_path):
+    """Watermarked streaming window over a drained directory must equal
+    the batch events_windowed aggregation on the same data."""
+    import __spark_entry__ as entry_mod
+
+    from searchengine_spark.streaming.windows import windowed_counts_stream
+
+    sf = "/root/testdata/sf0.001"
+    events_dir = str(tmp_path / "events_stream")
+    spark.read.parquet(f"{sf}/events.parquet").repartition(3).write.parquet(events_dir)
+
+    got = windowed_counts_stream(
+        spark, events_dir, str(tmp_path / "ckpt"), sink_table="wc_test"
+    )
+    want = entry_mod.queries()["events_windowed"](spark, sf)
+    g = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in got.collect()
+    }
+    w = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in want.collect()
+    }
+    assert g == w
+
+
 # --------------------------------------------------------- multimodal ----
 
 def test_multimodal_features(spark):
