@@ -539,6 +539,27 @@ def _q_events_json(spark, sf):
     )
 
 
+def _q_events_rollup(spark, sf):
+    """ROLLUP over (event_type, day): per-type-per-day, per-type subtotal,
+    grand total — the grouping-sets family the reference lacks."""
+    ev = _events(spark, sf).select(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "value"
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            # subtotal rows surface as 'ALL' instead of NULL so the
+            # driver's value-hash comparison never sees NaT/None
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def _q_lang_stats(spark, sf):
     return (
         _docs(spark, sf)
@@ -593,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "events_json": _q_events_json,
+        "events_rollup": _q_events_rollup,
     }
 
 
@@ -796,6 +818,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
                    round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
             FROM events GROUP BY event_type ORDER BY event_type""",
+        "events_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, 'ALL') AS day,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
+                  FROM events)
+            GROUP BY ROLLUP (event_type, day)
+            ORDER BY 1, 2""",
         "quality_scores": """
             SELECT doc_id, len(toks) AS n_tokens,
                    round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_ratio,

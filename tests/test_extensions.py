@@ -156,6 +156,37 @@ def test_streaming_windowed_agg_equals_batch(spark, tmp_path):
     assert g == w
 
 
+def test_stateful_streaming_profiles(spark, tmp_path):
+    """applyInPandasWithState per-user profiles across micro-batches must
+    converge to the batch aggregate."""
+    from searchengine_spark.streaming.stateful import user_profiles_stream
+
+    sf = "/root/testdata/sf0.001"
+    events_dir = str(tmp_path / "events_state")
+    spark.read.parquet(f"{sf}/events.parquet").repartition(6).write.parquet(events_dir)
+
+    got = {
+        r["user_id"]: (r["n"], round(r["sum_value"], 6), r["last_ts"])
+        for r in user_profiles_stream(
+            spark, events_dir, str(tmp_path / "ckpt_state"), sink_table="up_test"
+        ).collect()
+    }
+    batch = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.max(F.col("ts").cast("timestamp").cast("long")).alias("last_ts"),
+        )
+    )
+    want = {
+        r["user_id"]: (r["n"], round(r["sum_value"], 6), r["last_ts"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
 # --------------------------------------------------------- multimodal ----
 
 def test_multimodal_features(spark):
