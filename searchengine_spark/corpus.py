@@ -80,18 +80,44 @@ _ZIPF_W = 1.0 / np.power(np.arange(1, len(_VOCAB) + 1), 1.07)
 _ZIPF_P = _ZIPF_W / _ZIPF_W.sum()
 
 
-def page_row(i: int) -> tuple[str, datetime, bytes, str, str]:
-    """Fully deterministic row i — same values from any executor."""
+_N_TOPICS = 16
+_TOPIC_SLICE = 90  # vocab words exclusive-ish to each topic
+_TOPIC_BASE = 600  # deep in the Zipf tail so global df stays tiny
+
+
+def page_row(i: int, clustered: bool = False) -> tuple[str, datetime, bytes, str, str]:
+    """Fully deterministic row i — same values from any executor.
+
+    ``clustered=True`` gives each site a topic whose vocabulary slice
+    supplies ~half the words. Since doc_ids follow url order and urls
+    sort by site, topics become CONTIGUOUS doc ranges — heterogeneous
+    per-bucket block maxima, the corpus shape where block-max pruning
+    (query/wand.py) actually pays off (the uniform default corpus makes
+    every bucket's maxima identical, so WAND degenerates to full
+    evaluation there)."""
     rng = np.random.default_rng((SEED, i))
     n_words = int(rng.integers(40, 220))
     words = [_VOCAB[j] for j in rng.choice(len(_VOCAB), n_words, p=_ZIPF_P)]
+    topic = (i % 997) % _N_TOPICS
+    if clustered:
+        lo = _TOPIC_BASE + topic * _TOPIC_SLICE
+        topic_words = _VOCAB[lo : lo + _TOPIC_SLICE]
+        n_topic = n_words // 2
+        tw = rng.zipf(1.3, size=n_topic) % len(topic_words)
+        for k, t in enumerate(tw):
+            words[int(rng.integers(0, len(words)))] = topic_words[int(t)]
     # deterministic special injections (~5% of docs heavier, rest light)
     n_spec = int(rng.integers(0, 4)) + (3 if i % 20 == 0 else 0)
     for _ in range(n_spec):
         pos = int(rng.integers(0, len(words) + 1))
         words.insert(pos, _SPECIALS[int(rng.integers(0, len(_SPECIALS)))])
     text = " ".join(words)
-    url = f"https://site{i % 997}.example/page/{i:012d}"
+    if clustered:
+        # topic leads the hostname so the url sort (= doc_id order) lays
+        # each topic out as a contiguous doc range → bucket-aligned
+        url = f"https://t{topic:02d}-site{i % 997}.example/page/{i:012d}"
+    else:
+        url = f"https://site{i % 997}.example/page/{i:012d}"
     ts = datetime.fromtimestamp(_EPOCH.timestamp() + i * 61, tz=timezone.utc)
     htmlb = (
         f"<html><head><title>t{i}</title></head>"
@@ -106,18 +132,30 @@ PAGES_SCHEMA = (
 )
 
 
-def generate_pages(spark: SparkSession, n_docs: int, parallelism: int | None = None) -> DataFrame:
+def generate_pages(
+    spark: SparkSession,
+    n_docs: int,
+    parallelism: int | None = None,
+    clustered: bool = False,
+) -> DataFrame:
     """Distributed deterministic generation: spark.range → mapInPandas."""
 
     def gen(batches):
         for pdf in batches:
-            rows = [page_row(int(i)) for i in pdf["id"]]
+            rows = [page_row(int(i), clustered) for i in pdf["id"]]
             yield pd.DataFrame(
                 rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
 
     rng_df = spark.range(0, n_docs, numPartitions=parallelism or max(2, n_docs // 2500))
     return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def topic_terms(topic: int, k: int = 5) -> list[str]:
+    """The first k vocabulary words of a topic slice (for selective-query
+    benchmarks over a clustered corpus)."""
+    lo = _TOPIC_BASE + topic * _TOPIC_SLICE
+    return _VOCAB[lo : lo + k]
 
 
 def generate_pages_pdf(n_docs: int) -> pd.DataFrame:
