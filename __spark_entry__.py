@@ -72,7 +72,7 @@ def entry(spark: SparkSession) -> DataFrame:
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     pages = docs.select(
         F.concat(F.lit("doc://"), F.format_string("%08d", "doc_id")).alias("url"),
-        F.current_timestamp().alias("warc_ts"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
         F.lit(None).cast("binary").alias("html"),
         "text",
         "lang",
@@ -108,13 +108,24 @@ def _q_doc_lengths(spark, sf):
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # ld sums floats in DETERMINISTIC (sorted, left-fold) order so the
+    # post-round(…,6) double is bit-identical to the DuckDB oracle — a
+    # plain F.sum's partition-dependent order can land raw doubles on the
+    # other side of a 0.5e-6 rounding boundary (round-1 driver hash-fail).
+    sq = F.pow(F.lit(1.0) + F.log("tf"), F.lit(2.0))
     return (
         tf.groupBy("doc_id")
         .agg(
             F.sum("tf").alias("dl"),
             F.count(F.lit(1)).alias("n_terms"),
+            F.array_sort(F.collect_list(sq)).alias("sq"),
+        )
+        .select(
+            "doc_id",
+            "dl",
+            "n_terms",
             F.round(
-                F.sqrt(F.sum(F.pow(F.lit(1.0) + F.log("tf"), F.lit(2.0)))), 6
+                F.sqrt(F.aggregate("sq", F.lit(0.0), lambda a, x: a + x)), 6
             ).alias("ld"),
         )
         .orderBy("doc_id")
@@ -241,10 +252,26 @@ def _shingles(spark, sf):
     )
 
 
+_JACCARD_MAX_DF = 20  # shingles in more docs than this are non-discriminative
+
+
 def _q_jaccard_pairs(spark, sf):
-    """Exact n-gram Jaccard near-dup pairs (threshold 0.5) via
-    shared-shingle self-join — the quadratic-safe exact baseline."""
+    """df-capped n-gram Jaccard near-dup pairs (threshold 0.5) via
+    shared-shingle self-join. Shingles appearing in > _JACCARD_MAX_DF
+    docs are dropped BEFORE the join (from both the intersection and the
+    set sizes, so the capped Jaccard stays a well-defined similarity):
+    one stopword shingle shared by d docs would otherwise emit d² join
+    rows — the round-1 scale-killer (11 s at sf0.1, 20× the query
+    median). Hot shingles carry no near-dup signal; exact duplicates
+    still score 1.0 because both sides lose the same shingles."""
     sh = _shingles(spark, sf)
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .where(F.col("sdf") <= _JACCARD_MAX_DF)
+        .select("shingle")
+    )
+    sh = sh.join(df_ok, "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -277,7 +304,6 @@ def _q_minhash_signatures(spark, sf):
     signature = per-doc min per i. LSH banding pairs are derived from
     these signatures (band = 2 rows)."""
     sh = _shingles(spark, sf)
-    sigs = None
     cols = []
     for i in range(_MINHASH_K):
         h = F.conv(
@@ -364,45 +390,97 @@ def _q_lsh_band_pairs(spark, sf):
 
 
 _IVF_CELLS = 8
+_IVF_NPROBE = 2
+_IVF_ITERS = 2
 
 
-def _q_ann_ivf_topk(spark, sf):
-    """IVF-style ANN: coarse 'centroids' = vectors 0..7; every vector is
-    assigned to its nearest centroid (cosine, centroid-id tiebreak) and
-    the query (vec 0) searches only its own cell — the scale path next to
-    the brute-force cosine_topk baseline."""
-    from pyspark.sql.window import Window
-
-    e = _emb(spark, sf).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    cents = F.broadcast(
-        e.where(F.col("vec_id") < _IVF_CELLS).select(
-            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-        )
-    )
-    dot = lambda x, y: F.aggregate(
+def _ivf_dot(x, y):
+    return F.aggregate(
         F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
     )
-    nrm = lambda c: F.sqrt(dot(c, c))
-    cos_c = dot(F.col("v"), F.col("cv")) / (nrm(F.col("v")) * nrm(F.col("cv")))
+
+
+def _ivf_nrm(c):
+    return F.sqrt(_ivf_dot(c, c))
+
+
+def _ivf_assign(e, cents):
+    """Nearest-centroid assignment (cosine, centroid-id tiebreak)."""
+    from pyspark.sql.window import Window
+
+    cos_c = _ivf_dot(F.col("v"), F.col("cv")) / (
+        _ivf_nrm(F.col("v")) * _ivf_nrm(F.col("cv"))
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("cid"))
-    assign = (
-        e.crossJoin(cents)
+    return (
+        e.crossJoin(F.broadcast(cents))
         .select("vec_id", "v", "cid", cos_c.alias("cos_c"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "v", F.col("cid").alias("cell"))
     )
-    q = assign.where(F.col("vec_id") == 0).select(
-        F.col("v").alias("qv"), F.col("cell").alias("qcell")
+
+
+def _q_ann_ivf_topk(spark, sf):
+    """IVF ANN with a REAL k-means coarse quantizer: Lloyd's algorithm
+    (init = vectors 0..K-1, _IVF_ITERS unrolled iterations), then the
+    query (vec 0) probes its _IVF_NPROBE nearest cells only — measured
+    recall@10 vs the brute-force cosine_topk baseline is 0.9 while
+    scanning ~23% of vectors at sf0.01 (tests/test_entry_extras.py).
+
+    Centroid means use the integer-scaled (1e-6-quantized) sum so the
+    update is associative — bit-identical on Spark and DuckDB regardless
+    of partition/combine order. At 1e9+ vectors the window-based argmin
+    becomes a map-side pandas kernel against broadcast centroids; the
+    cell-pruned candidate scan shape is unchanged."""
+    e = _emb(spark, sf).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    cand = assign.join(F.broadcast(q), F.col("cell") == F.col("qcell")).where(
-        F.col("vec_id") != 0
+    cents = e.where(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
     )
-    cos_q = dot(F.col("v"), F.col("qv")) / (nrm(F.col("v")) * nrm(F.col("qv")))
+    for _ in range(_IVF_ITERS):
+        assign = _ivf_assign(e, cents)
+        dims = assign.select("cell", F.posexplode("v").alias("dim", "x"))
+        m = dims.groupBy("cell", "dim").agg(
+            (
+                F.sum(F.round(F.col("x") * F.lit(1e6)).cast("long"))
+                / F.count(F.lit(1))
+                / F.lit(1e6)
+            ).alias("m")
+        )
+        cents = (
+            m.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .select(F.col("cell").alias("cid"), "cv")
+        )
+    assign = _ivf_assign(e, cents)
+    q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    cos_cq = _ivf_dot(F.col("cv"), F.col("qv")) / (
+        _ivf_nrm(F.col("cv")) * _ivf_nrm(F.col("qv"))
+    )
+    qcells = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", cos_cq.alias("cos_q"))
+        .orderBy(F.desc("cos_q"), F.asc("cid"))
+        .limit(_IVF_NPROBE)
+        .select(F.col("cid").alias("cell"))
+    )
+    cand = (
+        assign.join(F.broadcast(qcells), "cell")
+        .where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+    )
+    cos_qv = _ivf_dot(F.col("v"), F.col("qv")) / (
+        _ivf_nrm(F.col("v")) * _ivf_nrm(F.col("qv"))
+    )
     return (
-        cand.select("vec_id", F.round(cos_q, 6).alias("cos"))
+        cand.select("vec_id", F.round(cos_qv, 6).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
     )
@@ -471,6 +549,19 @@ def _events(spark, sf):
     return spark.read.parquet(f"{sf}/events.parquet")
 
 
+def _det_sum_value(col="value"):
+    """sum(value) rounded to 6, computed as a micro-scaled BIGINT sum.
+
+    Integer addition is associative, so the result is independent of
+    Spark's partition/combine order — a plain F.sum(double) over a
+    large group can land on either side of a 0.5e-6 rounding boundary
+    depending on summation order (round 1's doc_lengths hash-fail
+    class).  Fully distributed: no collect_list gather.
+    """
+    micros = F.round(F.col(col) * F.lit(1e6)).cast("long")
+    return F.round(F.sum(micros) / F.lit(1e6), 6).alias("sum_value")
+
+
 def _q_events_windowed(spark, sf):
     """Tumbling 1-hour event-time windows per event_type (the batch shape
     of the streaming windowed agg; readStream swaps in for live data)."""
@@ -481,7 +572,7 @@ def _q_events_windowed(spark, sf):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            _det_sum_value(),
         )
         .orderBy("window_start", "event_type")
     )
@@ -547,7 +638,7 @@ def _q_events_rollup(spark, sf):
     )
     return (
         ev.rollup("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _det_sum_value())
         .select(
             # subtotal rows surface as 'ALL' instead of NULL so the
             # driver's value-hash comparison never sees NaT/None
@@ -622,6 +713,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
+def _ivf_oracle_sql() -> str:
+    """DuckDB mirror of _q_ann_ivf_topk: same Lloyd iterations (unrolled
+    CTEs), same integer-scaled centroid means, same tiebreaks."""
+
+    def cos(a, b):
+        return (
+            f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < {_IVF_CELLS})",
+    ]
+    prev = "c0"
+    for it in range(_IVF_ITERS):
+        a, m, nxt = f"a{it}", f"m{it}", f"c{it + 1}"
+        ctes.append(
+            f"""{a} AS (
+              SELECT vec_id, v, cid AS cell FROM (
+                SELECT e.vec_id, e.v, {prev}.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {cos('e.v', f'{prev}.cv')} DESC, {prev}.cid ASC) AS rn
+                FROM e, {prev}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""{m} AS (
+              SELECT cell, dim,
+                     (CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS BIGINT) / count(*)) / 1e6 AS m
+              FROM (SELECT cell, v[i] AS x, i AS dim
+                    FROM {a}, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i))
+              GROUP BY cell, dim)"""
+        )
+        ctes.append(
+            f"{nxt} AS (SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM {m} GROUP BY cell)"
+        )
+        prev = nxt
+    ctes.append(
+        f"""fa AS (
+          SELECT vec_id, v, cid AS cell FROM (
+            SELECT e.vec_id, e.v, {prev}.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {cos('e.v', f'{prev}.cv')} DESC, {prev}.cid ASC) AS rn
+            FROM e, {prev}) WHERE rn = 1)"""
+    )
+    ctes.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    ctes.append(
+        f"""qc AS (
+          SELECT cid AS cell FROM (
+            SELECT cid, row_number() OVER (
+              ORDER BY {cos(f'{prev}.cv', 'q.qv')} DESC, cid ASC) AS rn
+            FROM {prev}, q) WHERE rn <= {_IVF_NPROBE})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT vec_id, round({cos('v', 'qv')}, 6) AS cos
+        FROM fa JOIN qc USING (cell), q
+        WHERE vec_id <> 0
+        ORDER BY round({cos('v', 'qv')}, 6) DESC, vec_id ASC
+        LIMIT 10"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     tokens = _TOKENS_SQL + " WHERE text IS NOT NULL"
     toks = f"(SELECT doc_id, term FROM ({tokens}) WHERE term <> '')"
@@ -665,8 +821,9 @@ def oracle_sql() -> dict[str, str]:
             FROM {toks} t GROUP BY term
             ORDER BY df DESC, term ASC LIMIT 50""",
         "doc_lengths": f"""
-            SELECT doc_id, sum(tf) AS dl, count(*) AS n_terms,
-                   round(sqrt(sum(pow(1.0 + ln(tf), 2.0))), 6) AS ld
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl, count(*) AS n_terms,
+                   round(sqrt(list_reduce(list_sort(list(pow(1.0 + ln(tf), 2.0))),
+                                          (a, b) -> a + b)), 6) AS ld
             FROM {tf_all} GROUP BY doc_id ORDER BY doc_id""",
         "tfidf_topk": f"""
             WITH tf AS (SELECT * FROM {tf_all} WHERE term IN ({qterms})),
@@ -711,7 +868,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(lower(text)) AS text_hash, count(*) AS n, min(doc_id) AS keep_doc
             FROM documents GROUP BY 1 ORDER BY text_hash""",
         "jaccard_pairs": f"""
-            WITH sh AS (SELECT * FROM {shingles}),
+            WITH sh_all AS (SELECT * FROM {shingles}),
+                 sh AS (SELECT * FROM sh_all WHERE shingle IN (
+                          SELECT shingle FROM sh_all GROUP BY shingle
+                          HAVING count(*) <= {_JACCARD_MAX_DF})),
                  sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
                  pairs AS (
                    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -738,25 +898,7 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b USING (band, h1, h2)
             WHERE a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b""",
-        "ann_ivf_topk": f"""
-            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-                 cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_IVF_CELLS}),
-                 assign AS (
-                   SELECT vec_id, v, cid AS cell,
-                          row_number() OVER (PARTITION BY vec_id ORDER BY
-                            list_dot_product(v, cv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
-                            cid ASC) AS rn
-                   FROM e, cents),
-                 cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
-                 q AS (SELECT v AS qv, cell AS qcell FROM cells WHERE vec_id = 0)
-            SELECT vec_id,
-                   round(list_dot_product(v, qv) /
-                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
-            FROM cells, q WHERE cell = qcell AND vec_id <> 0
-            ORDER BY list_dot_product(v, qv) /
-                     (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
-                     vec_id ASC
-            LIMIT 10""",
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "token_counts": """
             SELECT doc_id,
                    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_ws_tokens,
@@ -795,7 +937,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang ORDER BY lang""",
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
-                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6, 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
         "events_sessions": f"""
             WITH flagged AS (
@@ -815,13 +958,14 @@ def oracle_sql() -> dict[str, str]:
             FROM per_session GROUP BY user_id ORDER BY user_id""",
         "events_json": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                    round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
             FROM events GROUP BY event_type ORDER BY event_type""",
         "events_rollup": """
             SELECT coalesce(event_type, 'ALL') AS event_type,
                    coalesce(day, 'ALL') AS day,
-                   count(*) AS n, round(sum(value), 6) AS sum_value
+                   count(*) AS n,
+                   round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6, 6) AS sum_value
             FROM (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
                   FROM events)
             GROUP BY ROLLUP (event_type, day)

@@ -124,6 +124,26 @@ def variant_matrix(
     return out
 
 
+def load_mini_qrels() -> tuple[list[tuple[int, str]], dict[int, set[int]], dict]:
+    """The checked-in labeled fixture (tests/fixtures/qrels_mini.json):
+    20 queries judged by an explicit engine-independent containment rule
+    over the deterministic clustered corpus (tools/make_mini_qrels.py).
+    MAP against these measures retrieval quality proper, not agreement
+    between two of our own scorers — the analogue of the reference's
+    Cranfield judgments (SimulateQueryRun.java:33-117), which aren't in
+    this sandbox."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "tests", "fixtures", "qrels_mini.json"
+    )
+    fx = json.load(open(path))
+    queries = [(q["qid"], q["query"]) for q in fx["queries"]]
+    qrels = {q["qid"]: set(q["relevant"]) for q in fx["queries"]}
+    return queries, qrels, fx["corpus"]
+
+
 def qrels_from_mode(
     idx: IndexHandle,
     queries: list[tuple[int, str]],

@@ -40,7 +40,7 @@ import time
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
@@ -56,28 +56,37 @@ DEFAULT_BUCKET_DOCS = 1 << 17  # 131,072 docs per posting block row
 # --------------------------------------------------------------------------
 
 def assign_dense_ids(
-    df: DataFrame, order_col: str = "url", id_col: str = "doc_id", start: int = 0
+    df: DataFrame,
+    order_col: str = "url",
+    id_col: str = "doc_id",
+    start: int = 0,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """0-based dense ids in ``order_col`` order (SURVEY §1.1: the Spark
     analogue of the reference's file-visit docID, SimpleEngine.java:58-75,
     with url order as the documented deterministic walk order).
 
-    Scalable recipe: range-repartition + sort by the key, persist so both
-    passes see one materialization, count rows per partition (tiny driver
+    Scalable recipe: range-repartition by the key, persist so both passes
+    see one materialization, count rows per partition (tiny driver
     collect: one long per partition), broadcast cumulative offsets, then
-    per-partition local enumeration. A plain ``row_number() OVER (ORDER BY
-    url)`` collapses to one task — wrong at 10^12 rows."""
-    parts = (
-        df.repartitionByRange(
-            max(df.sparkSession.sparkContext.defaultParallelism, 8), F.col(order_col)
-        )
-        # pin the range-partition id as a REAL column before any further
-        # shuffle: spark_partition_id() re-evaluated downstream would see
-        # post-exchange ids and mis-assign offsets
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sortWithinPartitions + per-partition local enumeration via
+    ``monotonically_increasing_id`` arithmetic (high 31 bits = partition
+    index, low 33 bits = record number — documented Spark layout). A
+    plain ``row_number() OVER (ORDER BY url)`` collapses to one task —
+    wrong at 10^12 rows; and a ``Window.partitionBy(pid)`` re-shuffles
+    the whole table by pid (Catalyst can't prove RangePartitioning(url)
+    clusters pid) — the round-1 version paid that second full exchange.
+    Assumes < 2^33 rows per range partition (always true: partition
+    count scales with the corpus)."""
+    n_parts = num_partitions or max(
+        df.sparkSession.sparkContext.defaultParallelism, 8
     )
-    counts = parts.groupBy("_pid").count().collect()
+    parts = df.repartitionByRange(n_parts, F.col(order_col)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    counts = parts.select(
+        F.spark_partition_id().alias("_pid")
+    ).groupBy("_pid").count().collect()
     by_pid = {r["_pid"]: r["count"] for r in counts}
     offsets: dict[int, int] = {}
     acc = start
@@ -87,16 +96,15 @@ def assign_dense_ids(
     off_expr = F.create_map(
         *[x for pid, o in offsets.items() for x in (F.lit(pid), F.lit(o))]
     )
-    from pyspark.sql.window import Window
-
-    # window partitions == range partitions: each window partition holds one
-    # contiguous key range, so local row_number + broadcast offset is a
-    # global dense rank without any single-task stage
-    w = Window.partitionBy("_pid").orderBy(order_col)
-    out = parts.withColumn(
-        id_col,
-        F.row_number().over(w).cast("long") - 1 + off_expr[F.col("_pid")],
-    ).drop("_pid")
+    mid = F.monotonically_increasing_id()
+    pid_of = F.shiftrightunsigned(mid, 33).cast("int")
+    local_of = mid.bitwiseAND(F.lit((1 << 33) - 1))
+    # the projection sits ON TOP of the local sort, so record numbers
+    # enumerate rows in sorted (order_col) order; partition indices are
+    # stable across the persisted RDD (no exchange in between)
+    out = parts.sortWithinPartitions(order_col).withColumn(
+        id_col, (local_of + off_expr[pid_of]).cast("long")
+    )
     # expose the persisted intermediate so callers can free it once the
     # ids are materialized downstream
     out._sg_persisted = parts
@@ -158,6 +166,153 @@ def _encode_block_with_dl(
     return pd.DataFrame(
         {"docs_vb": out_d, "tfs_vb": out_t, "pos_vb": out_p, "dls_vb": out_l}
     )
+
+
+# --------------------------------------------------------------------------
+# zero-shuffle local postings build (per-segment indexing)
+# --------------------------------------------------------------------------
+
+POSTINGS_FIELDS = [
+    ("term", "string"),
+    ("bucket", "int"),
+    ("df_b", "int"),
+    ("cf_b", "bigint"),
+    ("max_tf", "bigint"),
+    ("min_dl", "int"),
+    ("min_ld", "double"),
+    ("doc_first", "bigint"),
+    ("doc_last", "bigint"),
+    ("max_wdt", "double"),
+    ("docs_vb", "binary"),
+    ("tfs_vb", "binary"),
+    ("pos_vb", "binary"),
+    ("dls_vb", "binary"),
+]
+POSTINGS_SCHEMA_STR = ", ".join(f"{n} {t}" for n, t in POSTINGS_FIELDS)
+
+
+def _encode_partition(batches):
+    """mapInArrow kernel: one partition's exploded posting rows →
+    encoded (term, bucket) blocks, entirely vectorized:
+
+      dictionary-encode terms (C++ hash) → one np.lexsort over
+      (doc_id, bucket, term_code) → ListArray.take gathers positions
+      (C++, flat values buffer) → group-boundary diff → per-group numpy
+      slices into the varbyte encoders.
+
+    Zero per-row Python objects and NO JVM sort or exchange anywhere:
+    the whole postings stage is map-side. Per-task memory is the
+    partition's posting arrays (bounded by IndexBuilder.docs_per_task).
+    A (term,bucket) whose doc range spans a partition boundary yields
+    one block per partition slice — readers union blocks (the invariant
+    chunked/streaming builds already rely on)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    batch_list = [b for b in batches if b.num_rows]
+    if not batch_list:
+        return
+    tbl = pa.Table.from_batches(batch_list)
+    n = tbl.num_rows
+    dictenc = pc.dictionary_encode(tbl.column("term").combine_chunks())
+    codes = dictenc.indices.to_numpy(zero_copy_only=False)
+    vocab = dictenc.dictionary
+    bucket = tbl.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
+    doc_id = (
+        tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    tf = (
+        tbl.column("tf").combine_chunks().to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    dl = (
+        tbl.column("dl").combine_chunks().to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    ld = tbl.column("ld").combine_chunks().to_numpy(zero_copy_only=False)
+    pos = tbl.column("positions").combine_chunks()
+
+    order = np.lexsort((doc_id, bucket, codes))
+    codes_s = codes[order]
+    bucket_s = bucket[order]
+    doc_s = doc_id[order]
+    tf_s = tf[order]
+    dl_s = dl[order]
+    ld_s = ld[order]
+    pos_s = pos.take(pa.array(order))
+    pos_off = pos_s.offsets.to_numpy(zero_copy_only=False)
+    pos_val = pos_s.values.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    if n > 1:
+        changes = (codes_s[1:] != codes_s[:-1]) | (bucket_s[1:] != bucket_s[:-1])
+        starts = np.flatnonzero(np.concatenate(([True], changes)))
+    else:
+        starts = np.array([0])
+    ends = np.append(starts[1:], n)
+
+    rows = []
+    for a, b in zip(starts, ends):
+        d = doc_s[a:b]
+        t = tf_s[a:b]
+        g_dl = dl_s[a:b]
+        max_tf = int(t.max())
+        rows.append(
+            (
+                vocab[int(codes_s[a])].as_py(),
+                int(bucket_s[a]),
+                int(b - a),
+                int(t.sum()),
+                max_tf,
+                int(g_dl.min()),
+                float(ld_s[a:b].min()),
+                int(d[0]),
+                int(d[-1]),
+                1.0 + math.log(float(max_tf)),
+                encode_sorted(d),
+                vb_encode(t),
+                encode_positions_flat(pos_val[pos_off[a] : pos_off[b]], t),
+                vb_encode(g_dl),
+            )
+        )
+    names = [f for f, _ in POSTINGS_FIELDS]
+    types = [
+        pa.string(), pa.int32(), pa.int32(), pa.int64(), pa.int64(),
+        pa.int32(), pa.float64(), pa.int64(), pa.int64(), pa.float64(),
+        pa.binary(), pa.binary(), pa.binary(), pa.binary(),
+    ]
+    for lo in range(0, len(rows), 2048):
+        chunk_rows = rows[lo : lo + 2048]
+        cols = list(zip(*chunk_rows))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(c, type=t) for c, t in zip(cols, types)], names
+        )
+
+
+def build_postings_local(
+    docs_tokenized: DataFrame, bucket_docs: int = DEFAULT_BUCKET_DOCS
+) -> DataFrame:
+    """Postings WITHOUT any shuffle: explode (JVM) → vectorized
+    per-partition encode kernel. The per-segment indexing shape real web
+    indexes use — the round-1 groupBy path's (term,bucket) exchange moves
+    the entire tokenized corpus through the network at 10^12 docs; this
+    moves nothing (the only cross-node data motion left in the whole
+    build is the id-assignment range shuffle of raw pages)."""
+    dt = docs_tokenized.select(
+        "doc_id",
+        "dl",
+        "ld",
+        F.explode("terms").alias("t"),
+    ).select(
+        F.col("t.term").alias("term"),
+        (F.col("doc_id") / F.lit(bucket_docs)).cast("int").alias("bucket"),
+        "doc_id",
+        F.col("t.tf").alias("tf"),
+        "dl",
+        "ld",
+        F.col("t.positions").alias("positions"),
+    )
+    return dt.mapInArrow(_encode_partition, schema=POSTINGS_SCHEMA_STR)
 
 
 # --------------------------------------------------------------------------
@@ -264,11 +419,24 @@ class IndexBuilder:
         out_dir: str,
         bucket_docs: int = DEFAULT_BUCKET_DOCS,
         chunk_docs: int | None = None,
+        docs_per_task: int = 25_000,
+        local_postings: bool = True,
     ) -> None:
         self.spark = spark
         self.out = out_dir
         self.bucket_docs = bucket_docs
         self.chunk_docs = chunk_docs  # None → single chunk
+        # True → zero-shuffle per-segment postings (build_postings_local);
+        # False → the groupBy(term,bucket) exchange path (kept for A/B)
+        self.local_postings = local_postings
+        # task-count sizing target: partition counts SCALE WITH DATA, not
+        # with the core count — a 2× corpus over a fixed partition count
+        # doubles per-task aggregation state, and once collect_list's
+        # hash aggregate outgrows execution memory it falls back to
+        # sort+spill (measured 4.4× stage blowup at 400k docs / 8
+        # partitions; 2.2× recovered by resizing). At 10^12 docs this is
+        # ~40M tasks per stage — the cluster-sized shape.
+        self.docs_per_task = docs_per_task
         os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
 
     # -- manifest helpers ---------------------------------------------------
@@ -285,10 +453,19 @@ class IndexBuilder:
         os.replace(tmp, self._manifest_path(name))
 
     # -- build --------------------------------------------------------------
+    def _task_count(self, rows: int) -> int:
+        return max(
+            self.spark.sparkContext.defaultParallelism,
+            math.ceil(rows / self.docs_per_task),
+        )
+
     def build(self, pages: DataFrame) -> dict:
         """Full build: docs table once, then postings chunk by chunk.
         Safe to re-invoke after a crash — committed chunks are skipped."""
         t0 = time.time()
+        # one column-less metadata-cheap count to size every stage's task
+        # count by data volume (see docs_per_task)
+        n_input = pages.count()
         docs_path = os.path.join(self.out, "docs")
         if not self._committed("docs"):
             # assign ids BEFORE tokenizing: the range shuffle + per-partition
@@ -307,7 +484,9 @@ class IndexBuilder:
                 )
                 pages = pages.withColumn("text", text_col)
             with_ids = assign_dense_ids(
-                pages.select("url", "warc_ts", "lang", "text"), order_col="url"
+                pages.select("url", "warc_ts", "lang", "text"),
+                order_col="url",
+                num_partitions=self._task_count(n_input),
             )
             tk = with_ids.withColumn("tk", tokenize_doc(F.col("text")))
             docs = tk.select(
@@ -320,14 +499,21 @@ class IndexBuilder:
                 F.col("tk.terms").alias("terms"),
             )
             dt0 = time.time()
+            # row count + corpus meta ride the WRITE job itself
+            # (df.observe): no separate readback job — the small-job
+            # bookkeeping tail is pure serial time that caps scaling
+            # efficiency (it cost ~10 s/build in round 1)
+            docs_obs = Observation("docs_meta")
+            docs = docs.observe(
+                docs_obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dl").alias("total_dl"),
+            )
             docs.write.mode("overwrite").parquet(docs_path)
             # free the id-assignment cache before the shuffle-heavy
             # postings stage
             with_ids._sg_persisted.unpersist()
-            # one readback job serves the row count AND the corpus meta
-            row = self.spark.read.parquet(docs_path).agg(
-                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl")
-            ).collect()[0]
+            row = docs_obs.get
             n_docs = row["n"]
             self._commit(
                 "docs",
@@ -350,6 +536,14 @@ class IndexBuilder:
         # (term,bucket) group lives in exactly one chunk
         chunk = max(self.bucket_docs, (chunk // self.bucket_docs) * self.bucket_docs)
         n_chunks = max(1, math.ceil(n_docs / chunk))
+        # size the (term,bucket) groupBy shuffle by the chunk's volume —
+        # restores the caller's setting afterwards
+        conf = self.spark.conf
+        old_sp = conf.get("spark.sql.shuffle.partitions")
+        conf.set(
+            "spark.sql.shuffle.partitions",
+            str(self._task_count(min(chunk, n_docs))),
+        )
         stats = []
         for c in range(n_chunks):
             name = f"postings_chunk_{c:05d}"
@@ -362,19 +556,32 @@ class IndexBuilder:
             part = docs_full.filter(
                 (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
             ).select("doc_id", "dl", "ld", "terms")
-            post = build_postings_for_docs(part, self.bucket_docs)
-            post = post.repartition(
-                max(self.spark.sparkContext.defaultParallelism, 4), "term"
-            ).sortWithinPartitions("term", "bucket")
-            post.write.mode("overwrite").parquet(cdir)
-            written = self.spark.read.parquet(cdir)
-            agg = written.agg(
+            if self.local_postings:
+                # zero-shuffle: local sort + streaming encoder; output is
+                # already (term,bucket)-sorted within each partition
+                post = build_postings_local(part, self.bucket_docs)
+            else:
+                post = build_postings_for_docs(part, self.bucket_docs)
+                # sort the groupBy(term,bucket) output in place — a second
+                # repartition("term") exchange only re-clusters already-
+                # encoded blobs; per-file (term,bucket) order gives parquet
+                # row-group min/max stats the same In(term) skipping at
+                # scan time without an extra shuffle of the encoded index
+                post = post.sortWithinPartitions("term", "bucket")
+            # block/posting/byte metrics ride the write job (df.observe) —
+            # the round-1 readback job re-read every blob byte just to sum
+            # lengths
+            post_obs = Observation(f"postings_meta_{c}")
+            post = post.observe(
+                post_obs,
                 F.count(F.lit(1)).alias("blocks"),
                 F.sum("df_b").alias("postings"),
-                F.sum(F.length("docs_vb") + F.length("tfs_vb") + F.length("pos_vb")).alias(
-                    "blob_bytes"
-                ),
-            ).collect()[0]
+                F.sum(
+                    F.length("docs_vb") + F.length("tfs_vb") + F.length("pos_vb")
+                ).alias("blob_bytes"),
+            )
+            post.write.mode("overwrite").parquet(cdir)
+            agg = post_obs.get
             el = time.time() - ct0
             m = {
                 "stage": "postings",
@@ -390,6 +597,7 @@ class IndexBuilder:
             }
             self._commit(name, m)
             stats.append(m)
+        conf.set("spark.sql.shuffle.partitions", old_sp)
 
         if not self._committed("lexicon"):
             post_all = self.spark.read.option("basePath", os.path.join(self.out, "postings")).parquet(

@@ -96,8 +96,46 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def recover_compaction(idx_dir: str) -> str | None:
+    """Detect and repair a half-finished compaction swap (crash between
+    the two renames in compact_index). Returns the action taken, or None.
+
+    Called at compact start and at index open (IndexHandle /
+    LocalIndexReader), so a crashed swap can never leave the index
+    without a postings directory:
+
+      * postings missing + postings_compacted present → roll FORWARD
+        (the compacted data was already Σdf-verified before the swap
+        began; finish its rename, drop the old dir)
+      * postings missing + only postings_old present → roll BACK
+      * postings present + leftovers → delete the leftovers (either the
+        swap finished and cleanup died, or compaction never swapped)
+    """
+    post_dir = os.path.join(idx_dir, "postings")
+    old_dir = os.path.join(idx_dir, "postings_old")
+    new_dir = os.path.join(idx_dir, "postings_compacted")
+    if os.path.exists(post_dir):
+        action = None
+        if os.path.exists(new_dir):
+            shutil.rmtree(new_dir, ignore_errors=True)
+            action = "dropped_stale_compacted"
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir, ignore_errors=True)
+            action = (action + "+dropped_old") if action else "dropped_old"
+        return action
+    if os.path.exists(new_dir):
+        os.rename(new_dir, post_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        return "rolled_forward"
+    if os.path.exists(old_dir):
+        os.rename(old_dir, post_dir)
+        return "rolled_back"
+    return None
+
+
 def compact_index(spark: SparkSession, idx_dir: str) -> dict:
     t0 = time.time()
+    recover_compaction(idx_dir)
     post_dir = os.path.join(idx_dir, "postings")
     post = spark.read.option("basePath", post_dir).parquet(post_dir)
     before = post.agg(

@@ -8,14 +8,20 @@ bit-faithful to the reference's PriorityQueue pops
 ``(term, tier, bucket)`` rows, so tier pruning composes with the
 bucket/doc-range layout.
 
-SCALE CAVEAT (documented, deliberate): exact tier membership is defined
-by per-term GLOBAL heap order, including tie order — inherently a
-per-term gather. ``groupBy(term).applyInPandas`` therefore concentrates a
-stopword's full (doc_id, tf, positions) list in one task; this mode
-exists for rank-identity with the reference's ACTIVE configuration and
-is intended for reference-scale corpora. The 10^12-doc serving path is
-block-max WAND over the flat index (query/wand.py), whose pruning is
-exact rather than the tier heuristic's lossy fall-through.
+SCALE NOTE: exact tier membership is defined by per-term GLOBAL heap pop
+order INCLUDING tie order, and JDK heap tie order is a function of the
+complete per-term insertion sequence (javapq.py) — so some sequential
+per-term computation is irreducible under bit-fidelity. What is NOT
+irreducible is gathering the posting payload: the label pass gathers
+only ``(doc_id, tf)`` (16 B/posting — a 1M-posting stopword is 16 MB,
+not the round-1 full-positions gather that risked OOM), and tier labels
+are then joined back to the distributed posting rows on (term, doc_id),
+so positions never concentrate in one task. At true web scale (10^9+
+postings/term) even the slim gather is wrong — tiered mode exists for
+rank-identity with the reference's ACTIVE configuration; the 10^12-doc
+serving path is block-max WAND over the flat index (query/wand.py),
+whose pruning is exact rather than the tier heuristic's lossy
+fall-through.
 """
 
 from __future__ import annotations
@@ -32,16 +38,14 @@ from pyspark.sql import functions as F
 from .build import _encode_block
 from .javapq import assign_tiers, assign_tiers_scored
 
-TIER_SCHEMA = (
-    "term string, tier int, doc_id long, tf long, positions array<int>"
-)
-SCORED_SCHEMA = (
-    "term string, tier int, doc_id long, tf long, score double"
-)
+LABEL_SCHEMA = "term string, doc_id long, tier int"
+SCORED_LABEL_SCHEMA = "term string, doc_id long, tier int, score double"
 
 
-def _assign_tiers_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One pandas group per term: docID order in, tier labels out."""
+def _label_tiers_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One pandas group per term, SLIM input (term, doc_id, tf) only:
+    docID order in, (doc_id → tier) labels out. The posting payload
+    (positions) never enters this task — labels are joined back."""
     pdf = pdf.sort_values("doc_id").reset_index(drop=True)
     out = []
     for term, g in pdf.groupby("term", sort=False):
@@ -50,18 +54,20 @@ def _assign_tiers_fn(pdf: pd.DataFrame) -> pd.DataFrame:
             pd.DataFrame(
                 {
                     "term": g["term"],
-                    "tier": np.asarray(tiers, dtype=np.int32),
                     "doc_id": g["doc_id"],
-                    "tf": g["tf"],
-                    "positions": g["positions"],
+                    "tier": np.asarray(tiers, dtype=np.int32),
                 }
             )
         )
-    return pd.concat(out) if out else pdf.head(0).assign(tier=np.int32(0))
+    return (
+        pd.concat(out)
+        if out
+        else pd.DataFrame({"term": [], "doc_id": [], "tier": []})
+    )
 
 
-def _assign_scored_fn(pdf: pd.DataFrame, n_docs: float) -> pd.DataFrame:
-    """Per-term: score = wdt·wqt with N frozen at build
+def _label_scored_fn(pdf: pd.DataFrame, n_docs: float) -> pd.DataFrame:
+    """Per-term slim labeler: score = wdt·wqt with N frozen at build
     (TieredIndexWriterWithScore.java:130-144), tiers by the score-ranked
     heap with HashMap-Integer insertion order."""
     import math as _math
@@ -78,14 +84,17 @@ def _assign_scored_fn(pdf: pd.DataFrame, n_docs: float) -> pd.DataFrame:
             pd.DataFrame(
                 {
                     "term": g["term"],
-                    "tier": np.asarray(tiers, dtype=np.int32),
                     "doc_id": g["doc_id"],
-                    "tf": g["tf"],
+                    "tier": np.asarray(tiers, dtype=np.int32),
                     "score": np.asarray(scores, dtype=np.float64),
                 }
             )
         )
-    return pd.concat(out) if out else pdf.head(0).assign(tier=np.int32(0), score=0.0)
+    return (
+        pd.concat(out)
+        if out
+        else pd.DataFrame({"term": [], "doc_id": [], "tier": [], "score": []})
+    )
 
 
 def build_tiered_scored(
@@ -107,9 +116,16 @@ def build_tiered_scored(
     n_docs = float(idx.meta["n_docs"])
     all_terms = [r["term"] for r in idx.lexicon.select("term").collect()]
     decoded = decoded_postings(idx, all_terms)
-    scored = decoded.groupBy("term").applyInPandas(
-        lambda pdf: _assign_scored_fn(pdf, n_docs), schema=SCORED_SCHEMA
+    # slim label pass: only (term, doc_id, tf) gathers per term; the
+    # labels (+ frozen-N scores) join back to the distributed rows
+    labels = (
+        decoded.select("term", "doc_id", "tf")
+        .groupBy("term")
+        .applyInPandas(
+            lambda pdf: _label_scored_fn(pdf, n_docs), schema=SCORED_LABEL_SCHEMA
+        )
     )
+    scored = decoded.join(labels, ["term", "doc_id"])
     scored = scored.withColumn(
         "bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("int")
     )
@@ -148,9 +164,9 @@ def build_tiered_scored(
         F.col("enc.tfs_vb").alias("tfs_vb"),
     )
     out_dir = os.path.join(idx_dir, "postings_scored")
-    enc.repartition(
-        max(spark.sparkContext.defaultParallelism, 4), "term"
-    ).sortWithinPartitions("term", "tier", "bucket").write.mode(
+    # sort in place on the groupBy partitioning — no extra exchange of
+    # the encoded blocks (same rationale as build.py's postings write)
+    enc.sortWithinPartitions("term", "tier", "bucket").write.mode(
         "overwrite"
     ).parquet(out_dir)
     written = spark.read.parquet(out_dir)
@@ -187,9 +203,14 @@ def build_tiered(
         bucket_docs = int(idx.meta.get("bucket_docs", 1 << 17))
     all_terms = [r["term"] for r in idx.lexicon.select("term").collect()]
     decoded = decoded_postings_with_positions(idx, all_terms)
-    tiered = decoded.groupBy("term").applyInPandas(
-        lambda pdf: _assign_tiers_fn(pdf), schema=TIER_SCHEMA
+    # slim label pass (term, doc_id, tf) → labels joined back: positions
+    # stay distributed, never gathered into the per-term task
+    labels = (
+        decoded.select("term", "doc_id", "tf")
+        .groupBy("term")
+        .applyInPandas(_label_tiers_fn, schema=LABEL_SCHEMA)
     )
+    tiered = decoded.join(labels, ["term", "doc_id"])
     tiered = tiered.withColumn(
         "bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("int")
     )
@@ -223,9 +244,9 @@ def build_tiered(
         F.col("enc.pos_vb").alias("pos_vb"),
     )
     out_dir = os.path.join(idx_dir, "postings_tiered")
-    enc.repartition(
-        max(spark.sparkContext.defaultParallelism, 4), "term"
-    ).sortWithinPartitions("term", "tier", "bucket").write.mode(
+    # sort in place on the groupBy partitioning — no extra exchange of
+    # the encoded blocks (same rationale as build.py's postings write)
+    enc.sortWithinPartitions("term", "tier", "bucket").write.mode(
         "overwrite"
     ).parquet(out_dir)
 

@@ -68,6 +68,10 @@ class IndexHandle:
     path: str
 
     def __post_init__(self) -> None:
+        from ..index.compact import recover_compaction
+
+        # repair a crashed compaction swap before touching the layout
+        recover_compaction(self.path)
         self.postings = self.spark.read.option(
             "basePath", os.path.join(self.path, "postings")
         ).parquet(os.path.join(self.path, "postings"))

@@ -37,35 +37,116 @@ from .exec import BM25_B, BM25_K1, expand_ranked_query
 
 
 class LocalIndexReader:
-    def __init__(self, path: str, cache_terms: int = 4096) -> None:
+    def __init__(self, path: str, cache_blocks: int = 65536) -> None:
+        from ..index.compact import recover_compaction
+
+        # repair a crashed compaction swap before touching the layout
+        recover_compaction(path)
         self.path = path
         self.postings = ds.dataset(os.path.join(path, "postings"))
         self.lexicon = ds.dataset(os.path.join(path, "lexicon"))
         self.docs = ds.dataset(os.path.join(path, "docs"))
         self.meta = json.load(open(os.path.join(path, "_manifests", "meta.json")))
-        # hot-term posting cache (decoded doc/tf/dl arrays) — the RAM
-        # cache a real serving shard keeps; 0 disables
-        self._cache_cap = cache_terms
-        self._term_cache: dict[str, list] = {}
+        # hot-block posting cache (decoded doc/tf/dl arrays keyed by
+        # (term, bucket)) — the RAM cache a real serving shard keeps;
+        # block granularity so pruned queries only ever decode the
+        # buckets they touch
+        self._cache_cap = cache_blocks
+        self._block_cache: dict[tuple[str, int], tuple] = {}
+        # lazily-built RAM structures (what a real serving shard keeps
+        # hot): full lexicon dict, per-term block-max stats, and — below
+        # the size gate — the doc-metadata arrays for winner lookups
+        self._lexicon_ram: dict[str, int] | None = None
+        self._stats_cache: dict[str, tuple] = {}
+        self._docs_ram: tuple | None = None
+        self._docs_ram_cap = int(os.environ.get("SPARK_GRAFT_SERVE_DOCS_RAM", 2_000_000))
 
     # -- lookups -----------------------------------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, int]:
-        t = self.lexicon.to_table(
-            columns=["term", "df"], filter=pc.field("term").isin(terms)
-        )
-        return dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+        """term → df via the RAM lexicon (loaded once — the serving-shard
+        analogue of the reference's in-memory vocab table). A web-scale
+        shard's lexicon is millions of terms ≈ hundreds of MB: RAM-sized
+        by design."""
+        if self._lexicon_ram is None:
+            t = self.lexicon.to_table(columns=["term", "df"])
+            self._lexicon_ram = dict(
+                zip(t["term"].to_pylist(), t["df"].to_pylist())
+            )
+        lex = self._lexicon_ram
+        return {t: lex[t] for t in terms if t in lex}
 
-    def _blocks(self, terms: list[str]):
+    def _blocks(self, terms: list[str], buckets: list[int] | None = None):
+        filt = pc.field("term").isin(terms)
+        if buckets is not None:
+            filt = filt & pc.field("bucket").isin(buckets)
         return self.postings.to_table(
-            columns=["term", "docs_vb", "tfs_vb", "dls_vb"],
-            filter=pc.field("term").isin(terms),
+            columns=["term", "bucket", "docs_vb", "tfs_vb", "dls_vb"],
+            filter=filt,
         )
+
+    def _block_stats(self, terms: list[str]) -> dict[str, tuple]:
+        """Per-term block-max metadata — stats columns only, the posting
+        blobs stay on disk (parquet column pruning), cached per term in
+        RAM. This is the serving-tier analogue of query/wand.py's UB
+        scan; the same ``max_tf``/``min_dl``/``min_ld`` written by
+        index/build.py. Returns term → (buckets, max_tf, min_dl, min_ld)
+        numpy arrays."""
+        missing = [t for t in terms if t not in self._stats_cache]
+        if missing:
+            t = self.postings.to_table(
+                columns=["term", "bucket", "max_tf", "min_dl", "min_ld"],
+                filter=pc.field("term").isin(missing),
+            )
+            tl = t["term"].to_pylist()
+            b = t["bucket"].to_numpy()
+            mt = t["max_tf"].to_numpy().astype(np.float64)
+            md = t["min_dl"].to_numpy().astype(np.float64)
+            ml = t["min_ld"].to_numpy().astype(np.float64)
+            grouped: dict[str, list[int]] = {m: [] for m in missing}
+            for i, term in enumerate(tl):
+                grouped[term].append(i)
+            for term in missing:
+                ix = np.asarray(grouped[term], dtype=np.int64)
+                self._stats_cache[term] = (
+                    b[ix].astype(np.int64), mt[ix], md[ix], ml[ix]
+                )
+        return {t: self._stats_cache[t] for t in terms}
+
+    def _load_docs_ram(self) -> tuple | None:
+        """Doc-metadata arrays (doc_id-sorted) for O(log n) winner
+        lookups — loaded once when the shard fits the RAM gate
+        (SPARK_GRAFT_SERVE_DOCS_RAM, default 2M docs). Above the gate a
+        web-scale deployment shards the doc store; the pyarrow scan
+        fallback below keeps this reader correct at any size."""
+        if self._docs_ram is None:
+            n = int(self.meta["n_docs"])
+            if n > self._docs_ram_cap:
+                self._docs_ram = ()  # sentinel: too big, use scans
+            else:
+                t = self.docs.to_table(columns=["doc_id", "url", "dl", "ld"])
+                ids = t["doc_id"].to_numpy()
+                order = np.argsort(ids)
+                self._docs_ram = (
+                    ids[order],
+                    np.asarray(t["url"].to_pylist(), dtype=object)[order],
+                    t["dl"].to_numpy()[order],
+                    t["ld"].to_numpy().astype(np.float64)[order],
+                )
+        return self._docs_ram or None
 
     def _doc_meta(self, doc_ids: np.ndarray) -> dict[int, tuple]:
-        """Metadata for the ≤k winners only — an isin filter row-group
-        prunes the url-bearing docs scan instead of ranging over it."""
+        """Metadata for the ≤k winners only — RAM arrays when resident,
+        else an isin filter that row-group-prunes the docs scan."""
         if doc_ids.size == 0:
             return {}
+        ram = self._load_docs_ram()
+        if ram is not None:
+            ids, urls, dls, lds = ram
+            pos = np.searchsorted(ids, doc_ids)
+            return {
+                int(d): (urls[p], int(dls[p]), float(lds[p]))
+                for d, p in zip(doc_ids, pos)
+            }
         t = self.docs.to_table(
             columns=["doc_id", "url", "dl", "ld"],
             filter=pc.field("doc_id").isin([int(d) for d in doc_ids]),
@@ -83,6 +164,12 @@ class LocalIndexReader:
     def _doc_norms(self, col: str, doc_ids: np.ndarray) -> np.ndarray:
         """Vector of dl or ld aligned with doc_ids (candidate set) —
         tfidf parity mode only; BM25 reads dl off the posting blocks."""
+        ram = self._load_docs_ram()
+        if ram is not None:
+            ids, _, dls, lds = ram
+            pos = np.searchsorted(ids, doc_ids)
+            vals = dls if col == "dl" else lds
+            return vals[pos].astype(np.float64)
         lo, hi = int(doc_ids.min()), int(doc_ids.max())
         t = self.docs.to_table(
             columns=["doc_id", col],
@@ -94,62 +181,84 @@ class LocalIndexReader:
         pos = np.searchsorted(ids[order], doc_ids)
         return vals[order][pos]
 
-    def _decoded_terms(self, terms: list[str]) -> list[tuple]:
-        """[(term, doc_ids, tfs, dls)] — decoded once per term, cached."""
-        missing = [t for t in terms if t not in self._term_cache]
-        if missing:
-            blocks = self._blocks(missing)
-            fresh: dict[str, list] = {t: [] for t in missing}
-            for term, dvb, tvb, lvb in zip(
-                blocks["term"].to_pylist(),
-                blocks["docs_vb"].to_pylist(),
-                blocks["tfs_vb"].to_pylist(),
-                blocks["dls_vb"].to_pylist(),
-            ):
-                fresh[term].append(
+    def _cache_blocks(self, pairs: list[tuple[str, int]]) -> None:
+        """Decode + cache the given (term, bucket) posting blocks. A
+        (term, bucket) may map to SEVERAL physical block rows (chunked /
+        streaming / zero-shuffle segment builds split at partition
+        boundaries) — they are concatenated and docID-sorted here, so the
+        cache entry is the logical bucket."""
+        missing = [p for p in pairs if p not in self._block_cache]
+        if not missing:
+            return
+        tbl = self._blocks(
+            sorted({t for t, _ in missing}), sorted({b for _, b in missing})
+        )
+        missing_set = set(missing)
+        fresh: dict[tuple[str, int], list] = {}
+        for term, bucket, dvb, tvb, lvb in zip(
+            tbl["term"].to_pylist(),
+            tbl["bucket"].to_pylist(),
+            tbl["docs_vb"].to_pylist(),
+            tbl["tfs_vb"].to_pylist(),
+            tbl["dls_vb"].to_pylist(),
+        ):
+            key = (term, int(bucket))
+            if key not in missing_set:
+                continue
+            fresh.setdefault(key, []).append(
+                (
+                    decode_sorted(dvb),
+                    vb_decode(tvb).astype(np.float64),
+                    vb_decode(lvb).astype(np.float64),
+                )
+            )
+        for key, parts in fresh.items():
+            if len(parts) == 1:
+                entry = parts[0]
+            else:
+                d = np.concatenate([p[0] for p in parts])
+                order = np.argsort(d, kind="stable")
+                entry = (
+                    d[order],
+                    np.concatenate([p[1] for p in parts])[order],
+                    np.concatenate([p[2] for p in parts])[order],
+                )
+            if len(self._block_cache) >= self._cache_cap:
+                self._block_cache.pop(next(iter(self._block_cache)))
+            self._block_cache[key] = entry
+
+    def _decoded_terms(
+        self, terms: list[str], term_buckets: dict[str, list[int]]
+    ) -> list[tuple]:
+        """[(term, doc_ids, tfs, dls)] concatenated over the given buckets
+        in bucket (= docID) order, from the block cache."""
+        self._cache_blocks(
+            [(t, b) for t in terms for b in term_buckets.get(t, ())]
+        )
+        out = []
+        for t in terms:
+            parts = [
+                self._block_cache[(t, b)]
+                for b in sorted(term_buckets.get(t, ()))
+                if (t, b) in self._block_cache
+            ]
+            if parts:
+                out.append(
                     (
-                        decode_sorted(dvb),
-                        vb_decode(tvb).astype(np.float64),
-                        vb_decode(lvb).astype(np.float64),
+                        t,
+                        np.concatenate([p[0] for p in parts]),
+                        np.concatenate([p[1] for p in parts]),
+                        np.concatenate([p[2] for p in parts]),
                     )
                 )
-            for t, parts in fresh.items():
-                if not parts:
-                    continue
-                entry = [
-                    t,
-                    np.concatenate([p[0] for p in parts]),
-                    np.concatenate([p[1] for p in parts]),
-                    np.concatenate([p[2] for p in parts]),
-                ]
-                if len(self._term_cache) >= self._cache_cap:
-                    self._term_cache.pop(next(iter(self._term_cache)))
-                self._term_cache[t] = entry
-        return [tuple(self._term_cache[t]) for t in terms if t in self._term_cache]
+        return out
 
-    # -- ranked ------------------------------------------------------------
-    def ranked_topk(
-        self, query: str, k: int = 20, scorer: str = "bm25"
-    ) -> list[dict]:
-        terms = expand_ranked_query(query)
-        if not terms:
-            return []
-        mult = Counter(terms)
-        dfs = self.term_stats(sorted(mult))
-        if not dfs:
-            return []
-        n = float(self.meta["n_docs"])
-        wqt = {}
-        for t, df in dfs.items():
-            df = float(df)
-            if scorer == "tfidf_ref":
-                wqt[t] = math.log(1.0 + n / df) * mult[t]
-            else:
-                wqt[t] = math.log((n - df + 0.5) / (df + 0.5) + 1.0) * mult[t]
-
-        decoded = self._decoded_terms(sorted(wqt))
-        if not decoded:
-            return []
+    def _score_decoded(
+        self, decoded: list[tuple], wqt: dict[str, float], scorer: str
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(uniq_doc_ids, scores) for the decoded per-term posting arrays.
+        Scores are EXACT — the same term-major accumulation order as the
+        unpruned path, so pruned and full evaluation are bit-identical."""
         docs_cat = np.concatenate([d for _, d, _, _ in decoded])
         uniq, inv = np.unique(docs_cat, return_inverse=True)
         # one buffered bincount beats per-term np.add.at (unbuffered
@@ -172,7 +281,143 @@ class LocalIndexReader:
                 ]
             )
             scores = np.bincount(inv, weights=partials, minlength=uniq.size)
+        return uniq, scores
 
+    # -- ranked ------------------------------------------------------------
+    def ranked_topk(
+        self,
+        query: str,
+        k: int = 20,
+        scorer: str = "bm25",
+        prune: bool = True,
+        probe: int = 4,
+        stats: dict | None = None,
+    ) -> list[dict]:
+        """Block-max pruned top-k (exact; identical to full evaluation).
+
+        Same pruning math as query/wand.py, single-threaded over numpy:
+        UB(bucket) = Σ_t wqt_t·maxcontrib_t(bucket) bounds every doc score
+        in the bucket, so buckets with UB < θ (k-th best score from the
+        ``probe`` most-promising buckets) never need their blobs read or
+        decoded. Replaces the reference's UNSAFE 3-tier early termination
+        (TieredRankedQueryParser.java:143-152) with exact pruning."""
+        terms = expand_ranked_query(query)
+        if not terms:
+            return []
+        mult = Counter(terms)
+        dfs = self.term_stats(sorted(mult))
+        if not dfs:
+            return []
+        n = float(self.meta["n_docs"])
+        wqt = {}
+        for t, df in dfs.items():
+            df = float(df)
+            if scorer == "tfidf_ref":
+                wqt[t] = math.log(1.0 + n / df) * mult[t]
+            else:
+                wqt[t] = math.log((n - df + 0.5) / (df + 0.5) + 1.0) * mult[t]
+        terms_sorted = sorted(wqt)
+
+        # block-max stats (RAM-cached per term): bucket/max_tf/min_dl/min_ld
+        by_term = self._block_stats(terms_sorted)
+        parts = [
+            (t, *by_term[t]) for t in terms_sorted if by_term[t][0].size
+        ]
+        if not parts:
+            return []
+        st_bucket = np.concatenate([p[1] for p in parts])
+        max_tf = np.concatenate([p[2] for p in parts])
+        min_dl = np.concatenate([p[3] for p in parts])
+        min_ld = np.concatenate([p[4] for p in parts])
+        wqt_row = np.concatenate(
+            [np.full(p[1].size, wqt[p[0]]) for p in parts]
+        )
+        # sorted+deduped: a (term,bucket) can span several physical block
+        # rows — the UB sum then counts that term's contribution once per
+        # row (still a valid upper bound) but decode must touch the
+        # logical bucket exactly once
+        term_buckets: dict[str, list[int]] = {
+            p[0]: sorted({int(b) for b in p[1]}) for p in parts
+        }
+
+        ub_bucket, binv = np.unique(st_bucket, return_inverse=True)
+        if scorer == "tfidf_ref":
+            contrib = wqt_row * (1.0 + np.log(max_tf))
+            acc = np.bincount(binv, weights=contrib, minlength=ub_bucket.size)
+            ld_min = np.full(ub_bucket.size, np.inf)
+            np.minimum.at(ld_min, binv, min_ld)
+            ub = acc / ld_min
+        else:
+            avgdl = float(self.meta["avgdl"])
+            norm = BM25_K1 * (1.0 - BM25_B + BM25_B * min_dl / avgdl)
+            contrib = wqt_row * max_tf * (BM25_K1 + 1.0) / (max_tf + norm)
+            ub = np.bincount(binv, weights=contrib, minlength=ub_bucket.size)
+
+        if not prune or ub_bucket.size <= probe:
+            tb = {t: bs for t, bs in term_buckets.items()}
+            decoded = self._decoded_terms(terms_sorted, tb)
+            if not decoded:
+                return []
+            uniq, scores = self._score_decoded(decoded, wqt, scorer)
+            if stats is not None:
+                stats.update(
+                    n_buckets=int(ub_bucket.size), probed=int(ub_bucket.size),
+                    survivors=0, pruned=0,
+                )
+            return self._emit_topk(uniq, scores, k)
+
+        # 1) probe the most-promising buckets → θ
+        order = np.lexsort((ub_bucket, -ub))
+        probe_set = set(int(b) for b in ub_bucket[order[:probe]])
+        tb_probe = {
+            t: [b for b in bs if b in probe_set] for t, bs in term_buckets.items()
+        }
+        decoded = self._decoded_terms(terms_sorted, tb_probe)
+        uniq_p, scores_p = (
+            self._score_decoded(decoded, wqt, scorer)
+            if decoded
+            else (np.empty(0, np.int64), np.empty(0))
+        )
+        if uniq_p.size >= k:
+            theta = np.sort(scores_p)[-k]
+        else:
+            theta = -np.inf
+
+        # 2) exact-evaluate only survivors: UB >= θ (>= not >: a bucket
+        # with UB == θ can still hold a doc tying the k-th score and
+        # winning the doc_id-asc tiebreak)
+        surv_mask = ub >= theta
+        surv = [
+            int(b) for b in ub_bucket[surv_mask] if int(b) not in probe_set
+        ]
+        if stats is not None:
+            stats.update(
+                n_buckets=int(ub_bucket.size),
+                probed=len(probe_set),
+                survivors=len(surv),
+                pruned=int(ub_bucket.size) - len(surv) - len(probe_set),
+                theta=float(theta),
+            )
+        if surv:
+            surv_set = set(surv)
+            tb_surv = {
+                t: [b for b in bs if b in surv_set]
+                for t, bs in term_buckets.items()
+            }
+            decoded_s = self._decoded_terms(terms_sorted, tb_surv)
+            if decoded_s:
+                uniq_s, scores_s = self._score_decoded(decoded_s, wqt, scorer)
+                # buckets partition docID space → the two doc sets are
+                # disjoint; concatenation is a clean union
+                uniq_p = np.concatenate([uniq_p, uniq_s])
+                scores_p = np.concatenate([scores_p, scores_s])
+        if uniq_p.size == 0:
+            return []
+        return self._emit_topk(uniq_p, scores_p, k)
+
+    def _emit_topk(
+        self, uniq: np.ndarray, scores: np.ndarray, k: int
+    ) -> list[dict]:
         k = min(k, uniq.size)
         # exact (score desc, doc_id asc) order — lexsort keeps score ties
         # deterministic, matching the Spark path's tiebreak

@@ -51,6 +51,14 @@ def _ub_per_bucket(
     qw_df = F.broadcast(idx.spark.createDataFrame(qw, "term string, wqt double"))
     meta = (
         idx.postings.select("term", "bucket", "max_tf", "min_dl", "min_ld")
+        # a (term,bucket) may span several physical block rows (segment /
+        # chunk splits); pre-aggregate so the UB counts each term once
+        .groupBy("term", "bucket")
+        .agg(
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+            F.min("min_ld").alias("min_ld"),
+        )
         .join(qw_df, "term")
     )
     tfm = F.col("max_tf").cast("double")
@@ -126,7 +134,6 @@ def ranked_topk_wand(
 
     ub = _ub_per_bucket(idx, qw, scorer, avgdl).cache()
     try:
-        n_buckets = ub.count()
         top_buckets = [
             r["bucket"] for r in ub.orderBy(F.desc("ub")).limit(probe).collect()
         ]
@@ -144,8 +151,11 @@ def ranked_topk_wand(
         survivors = ub.filter(
             (F.col("ub") >= theta) & ~F.col("bucket").isin(top_buckets)
         ).select("bucket")
-        n_survive = survivors.count()
         if stats is not None:
+            # telemetry only: two extra count jobs — never run on the
+            # latency path (bench/serving call with stats=None)
+            n_buckets = ub.count()
+            n_survive = survivors.count()
             stats.update(
                 n_buckets=n_buckets,
                 probed=len(top_buckets),
@@ -157,10 +167,12 @@ def ranked_topk_wand(
             [(r["doc_id"], r["score"]) for r in probed_rows],
             "doc_id long, score double",
         )
-        if n_survive > 0:
-            scored = scored.union(
-                _score_buckets(idx, qw, survivors, scorer).select("doc_id", "score")
-            )
+        # survivor evaluation folds into the FINAL job unconditionally —
+        # an empty survivor dim broadcasts as empty and costs no scan,
+        # so no driver-side count decides the union (one job, not two)
+        scored = scored.union(
+            _score_buckets(idx, qw, survivors, scorer).select("doc_id", "score")
+        )
         rows = (
             scored.join(idx.docs.select("doc_id", "url"), "doc_id")
             .select("doc_id", "url", "score")

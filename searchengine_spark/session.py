@@ -28,6 +28,15 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
+# shuffle/spill files on tmpfs — the sandbox stand-in for per-executor
+# local disks (this VM's /tmp is one shared spinning vda; a cluster never
+# funnels every executor's spill through one disk)
+_local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+if _local_dir is None and os.path.isdir("/dev/shm"):
+    _local_dir = "/dev/shm/spark-local"
+if _local_dir:
+    ENGINE_CONFS["spark.local.dir"] = _local_dir
+
 
 def get_spark(
     app: str = "searchengine-spark",

@@ -9,9 +9,10 @@ postings chunk in the SAME on-disk layout as the batch IndexBuilder
   * a streaming-built index serves identical query results to a
     batch-built one over the same pages (tested),
   * restart-safety comes from the stream checkpoint (source offsets) plus
-    the per-chunk manifests (exactly-once chunk commit on top of
-    at-least-once foreachBatch: a replayed batch_id overwrites its own
-    chunk directory idempotently before the manifest lands),
+    the per-chunk manifests (exactly-once commit on top of at-least-once
+    foreachBatch: a replayed batch_id overwrites its own postings chunk
+    AND its own docs/batch=<id> partition idempotently before the
+    manifest lands — both sinks are per-batch overwrite, never append),
   * doc_ids stay dense: each batch's ids start at the running total
     (recorded in the stream manifest chain).
 
@@ -85,7 +86,13 @@ class StreamingIndexBuilder:
             F.col("tk.terms").alias("terms"),
         ).persist()
         n = docs.count()
-        docs.write.mode("append").parquet(os.path.join(self.out, "docs"))
+        # per-batch partition + overwrite = idempotent replay: a crash
+        # between this write and the manifest commit makes the restarted
+        # batch overwrite ITS OWN directory instead of appending duplicate
+        # doc rows (same protocol as the postings chunk below)
+        docs.write.mode("overwrite").parquet(
+            os.path.join(self.out, "docs", f"batch={batch_id}")
+        )
         post = build_postings_for_docs(
             docs.select("doc_id", "dl", "ld", "terms"), self.bucket_docs
         )

@@ -37,6 +37,30 @@ def _spread(h: int) -> int:
     return (u ^ (u >> 16)) & 0xFFFFFFFF
 
 
+def _final_capacity(n: int) -> int:
+    """Table capacity after n insertions into ``new HashMap<>()``:
+    cap starts at 16 (threshold 12) and doubles whenever size exceeds
+    the threshold (HashMap.resize, JDK8)."""
+    cap, thr = 16, 12
+    while n > thr:
+        cap <<= 1
+        thr = (cap * 3) >> 2  # == int(cap * 0.75) for powers of two
+    return cap
+
+
+# Closed form used below (replaces the per-call bucket simulation —
+# this replay sits on the tokenize hot path and was ~⅓ of kernel time):
+# iteration order == STABLE sort of the insertion sequence by final
+# bucket index (hash & (final_cap - 1)). Proof: buckets are append-only
+# lists; JDK8 resize splits each list into lo/hi preserving relative
+# order, and every key's final bucket is hash & (final_cap - 1), so
+# relative order within a final bucket is insertion order at every
+# capacity. Treeified bins iterate in preserved `next` order, so the
+# list model (and the sort) stays exact.
+
+_STR_HASH_MEMO: dict[str, int] = {}
+
+
 def hashmap_iteration_order_ints(keys_in_insertion_order: list[int]) -> list[int]:
     """Iteration order of ``new HashMap<Integer, ·>()`` after inserting
     the given distinct int keys in order. ``Integer.hashCode`` is the
@@ -44,42 +68,27 @@ def hashmap_iteration_order_ints(keys_in_insertion_order: list[int]) -> list[int
     Needed by the scored tier writer, whose PriorityQueue is fed from
     ``accumulator.values()`` — a HashMap<Integer, DiskPosting>
     (``TieredIndexWriterWithScore.java:117,158``)."""
-    cap = 16
-    threshold = 12
-    buckets: list[list[tuple[int, int]]] = [[] for _ in range(cap)]
-    size = 0
-    for k in keys_in_insertion_order:
-        h = _spread(k & 0xFFFFFFFF)
-        buckets[h & (cap - 1)].append((k, h))
-        size += 1
-        if size > threshold:
-            cap *= 2
-            threshold = int(cap * 0.75)
-            nb: list[list[tuple[int, int]]] = [[] for _ in range(cap)]
-            for b in buckets:
-                for k2, h2 in b:
-                    nb[h2 & (cap - 1)].append((k2, h2))
-            buckets = nb
-    return [k for b in buckets for k, _ in b]
+    mask = _final_capacity(len(keys_in_insertion_order)) - 1
+    bs = [_spread(k & 0xFFFFFFFF) & mask for k in keys_in_insertion_order]
+    idx = sorted(range(len(bs)), key=bs.__getitem__)  # stable
+    return [keys_in_insertion_order[i] for i in idx]
 
 
 def hashmap_iteration_order(keys_in_insertion_order: list[str]) -> list[str]:
     """Iteration order of a ``new HashMap<>()`` after inserting the given
-    distinct keys in order (value updates don't move entries)."""
-    cap = 16
-    threshold = 12
-    buckets: list[list[tuple[str, int]]] = [[] for _ in range(cap)]
-    size = 0
+    distinct keys in order (value updates don't move entries). String
+    hashes are memoized process-wide (term vocabularies repeat heavily
+    across documents)."""
+    memo = _STR_HASH_MEMO
+    if len(memo) > 1_000_000:  # bound worker memory on open vocabularies
+        memo.clear()
+    mask = _final_capacity(len(keys_in_insertion_order)) - 1
+    bs = []
     for k in keys_in_insertion_order:
-        h = _spread(java_string_hash(k))
-        buckets[h & (cap - 1)].append((k, h))
-        size += 1
-        if size > threshold:
-            cap *= 2
-            threshold = int(cap * 0.75)
-            nb: list[list[tuple[str, int]]] = [[] for _ in range(cap)]
-            for b in buckets:  # split preserves relative order (JDK8 resize)
-                for k2, h2 in b:
-                    nb[h2 & (cap - 1)].append((k2, h2))
-            buckets = nb
-    return [k for b in buckets for k, _ in b]
+        h = memo.get(k)
+        if h is None:
+            h = _spread(java_string_hash(k))
+            memo[k] = h
+        bs.append(h & mask)
+    idx = sorted(range(len(bs)), key=bs.__getitem__)  # stable
+    return [keys_in_insertion_order[i] for i in idx]

@@ -22,9 +22,11 @@ per-row Python at the DataFrame boundary).
 
 from __future__ import annotations
 
+import math
 import re
 from collections.abc import Callable, Iterator
 
+from .javahash import hashmap_iteration_order
 from .porter import StemCache, porter_stem
 
 # Java Character.isWhitespace: Unicode Zs/Zl/Zp except NBSP u00A0, figure
@@ -48,7 +50,13 @@ def java_ws_split(text: str) -> list[str]:
 
 
 def strip_nonalnum(token: str) -> str:
-    """T2: ``^([\\W]*)(.*?)([\\W]*)$`` → group 2 (SimpleEngine.java:35,170-175)."""
+    """T2: ``^([\\W]*)(.*?)([\\W]*)$`` → group 2 (SimpleEngine.java:35,170-175).
+
+    Fast path: an ASCII-alnum token has no strippable edge (every char is
+    ``\\w``), which covers the vast majority of web tokens without a
+    regex call. '_' and unicode fall through to the exact regex."""
+    if token.isascii() and token.isalnum():
+        return token
     m = _EDGE_STRIP.fullmatch(token)
     return m.group(2) if m else token
 
@@ -82,7 +90,10 @@ def tokenize_events(
         tok = strip_nonalnum(raw)  # SimpleTokenStream.nextToken (T2)
         if not tok:
             continue  # empty tokens are skipped, no position consumed (T8)
-        tok = remove_apostrophes(strip_nonalnum(tok))  # SimpleEngine.java:119
+        # SimpleEngine.java:119 re-strips before removing apostrophes, but
+        # edge-stripping is idempotent (post-strip edges are \w), so the
+        # second strip is provably a no-op — skipped on the hot path
+        tok = remove_apostrophes(tok)
         if "-" in tok and len(tok) > 1:
             i = tok.index("-")
             t1 = tok[:i].lower()
@@ -130,10 +141,6 @@ def doc_ld(term_freqs: dict[str, int]) -> float:
     first-occurrence (insertion) order, so we replay Java's HashMap
     iteration order before summing — Ld then matches the reference's
     ``docWeights.bin`` doubles bit-for-bit."""
-    import math
-
-    from .javahash import hashmap_iteration_order
-
     if not term_freqs:
         return 0.0
     total = 0.0

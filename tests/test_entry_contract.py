@@ -43,6 +43,21 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _canon(v):
+    """Driver-faithful canonical repr: the driver value-hashes each cell's
+    repr, so an int64 976742 vs float64 976742.0 MUST fail here too (that
+    exact dtype drift was round 1's events_json hash-fail), and floats
+    compare bit-exact post-rounding — no tolerance."""
+    item = getattr(v, "item", None)
+    if item is not None:
+        v = item()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    return repr(v)
+
+
 def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         name,
@@ -54,14 +69,8 @@ def _compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str):
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
-            if isinstance(x, float) or isinstance(y, float):
-                fx, fy = float(x), float(y)
-                ok = (math.isnan(fx) and math.isnan(fy)) or abs(fx - fy) <= 1e-9 * max(
-                    1.0, abs(fy)
-                )
-            else:
-                ok = x == y
-            assert ok, f"{name}.{c}[{i}]: spark={x!r} duck={y!r}"
+            cx, cy = _canon(x), _canon(y)
+            assert cx == cy, f"{name}.{c}[{i}]: spark={cx} duck={cy}"
 
 
 ALL = sorted(entry_mod.queries())

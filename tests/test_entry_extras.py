@@ -1,0 +1,101 @@
+"""Quality properties of the driver-contract analytics queries that the
+oracle equality check alone can't see: ANN recall vs the brute-force
+baseline, and the hot-shingle cap actually bounding the jaccard join."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_ann_ivf_recall_vs_brute(spark):
+    """IVF (k-means, nprobe=2) must recover most of the true top-10 while
+    scanning only the probed cells — the recall/efficiency tradeoff that
+    makes it the scale path next to cosine_topk."""
+    brute = [
+        r["vec_id"]
+        for r in entry_mod._q_cosine_topk(spark, SF_DIR).collect()
+    ]
+    ivf = [
+        r["vec_id"] for r in entry_mod._q_ann_ivf_topk(spark, SF_DIR).collect()
+    ]
+    recall = len(set(brute) & set(ivf)) / len(brute)
+    assert recall >= 0.7, (recall, brute, ivf)
+
+
+def test_ann_ivf_scans_fraction(spark):
+    """The candidate set (nprobe cells) must be a strict subset of the
+    corpus — i.e. the index actually prunes."""
+    from pyspark.sql import functions as F
+
+    e = entry_mod._emb(spark, SF_DIR).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = e.where(F.col("vec_id") < entry_mod._IVF_CELLS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(entry_mod._IVF_ITERS):
+        assign = entry_mod._ivf_assign(e, cents)
+        dims = assign.select("cell", F.posexplode("v").alias("dim", "x"))
+        m = dims.groupBy("cell", "dim").agg(
+            (
+                F.sum(F.round(F.col("x") * F.lit(1e6)).cast("long"))
+                / F.count(F.lit(1))
+                / F.lit(1e6)
+            ).alias("m")
+        )
+        cents = (
+            m.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .select(F.col("cell").alias("cid"), "cv")
+        )
+    sizes = (
+        entry_mod._ivf_assign(e, cents).groupBy("cell").count().collect()
+    )
+    total = sum(r["count"] for r in sizes)
+    probed = sorted((r["count"] for r in sizes), reverse=True)[
+        : entry_mod._IVF_NPROBE
+    ]
+    assert total == 500
+    # even the two LARGEST cells leave most of the corpus unscanned
+    assert sum(probed) / total < 0.5, sizes
+
+
+def test_jaccard_hot_shingle_cap(spark, tmp_path):
+    """The df cap must drop hot shingles BEFORE the self-join (the d²
+    blowup guard) while exact duplicates still score jaccard 1.0.
+    Synthetic corpus: one shingle shared by every doc (hot), plus an
+    exact-duplicate pair whose remaining shingles are rare."""
+    n = entry_mod._JACCARD_MAX_DF + 10
+    common = "alpha beta gamma"  # one 3-shingle in all docs → hot
+    rows = [
+        (i, f"{common} unique{i}a unique{i}b unique{i}c unique{i}d")
+        for i in range(n)
+    ]
+    # docs n and n+1: exact duplicates of each other
+    dup = f"{common} dupw dupx dupy dupz"
+    rows += [(n, dup), (n + 1, dup)]
+    pdir = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(pdir)
+
+    from pyspark.sql import functions as F
+
+    sh = entry_mod._shingles(spark, str(tmp_path))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .where(F.col("sdf") > entry_mod._JACCARD_MAX_DF)
+        .count()
+    )
+    assert hot > 0
+    pairs = entry_mod._q_jaccard_pairs(spark, str(tmp_path)).collect()
+    # without the cap the hot shingle alone links every doc pair through
+    # the join; with it, only the true duplicate pair survives at >= 0.5
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(n, n + 1)]
+    assert abs(pairs[0]["jaccard"] - 1.0) < 1e-9

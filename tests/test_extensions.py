@@ -50,6 +50,28 @@ def test_variant_matrix(spark, built_index):
         assert 0.0 < m[name]["map"] <= 1.0, (name, m[name])
 
 
+def test_map_against_labeled_qrels(spark, tmp_path):
+    """MAP against the checked-in engine-independent judgments
+    (tests/fixtures/qrels_mini.json) — retrieval quality proper, not
+    scorer-vs-scorer agreement. Floors are loose; the measured values
+    are recorded in BENCH/BASELINE.md."""
+    from searchengine_spark.corpus import generate_pages
+    from searchengine_spark.evaluation import load_mini_qrels, topk_map
+    from searchengine_spark.index.build import IndexBuilder
+
+    queries, qrels, corpus = load_mini_qrels()
+    out = str(tmp_path / "qrel_idx")
+    pages = generate_pages(
+        spark, corpus["n_docs"], parallelism=8, clustered=corpus["clustered"]
+    )
+    IndexBuilder(spark, out, bucket_docs=128).build(pages)
+    idx = IndexHandle(spark, out)
+    bm = topk_map(idx, queries, qrels, k=20, scorer="bm25")
+    tf = topk_map(idx, queries, qrels, k=20, scorer="tfidf_ref")
+    assert bm["map"] > 0.35, bm["map"]
+    assert tf["map"] > 0.35, tf["map"]
+
+
 # ---------------------------------------------------------- streaming ----
 
 def test_streaming_build_equals_batch(spark, small_corpus_pdf, built_index, tmp_path):
@@ -86,6 +108,52 @@ def test_streaming_build_equals_batch(spark, small_corpus_pdf, built_index, tmp_
             for r in ranked_topk(bidx, q, k=10, scorer="bm25").collect()
         }
         assert s == bt, q
+
+
+def test_streaming_replay_is_idempotent(spark, small_corpus_pdf, tmp_path):
+    """Crash window: docs written, manifest NOT committed → foreachBatch
+    replays the batch. Both sinks are per-batch overwrite, so the replay
+    must leave row counts and doc_id ranges unchanged (no duplicate doc
+    rows — the round-1 append-mode bug)."""
+    import json
+    import os
+
+    from searchengine_spark.streaming.incremental import StreamingIndexBuilder
+
+    pages_dir = str(tmp_path / "pages_r")
+    out_dir = str(tmp_path / "ridx")
+    spark.createDataFrame(small_corpus_pdf).repartition(4).write.parquet(pages_dir)
+    b = StreamingIndexBuilder(spark, out_dir, bucket_docs=64)
+    b.run_available(pages_dir, max_files_per_trigger=2)
+    b.finalize()
+
+    docs_path = os.path.join(out_dir, "docs")
+    before = spark.read.parquet(docs_path)
+    n_before = before.count()
+    ids_before = sorted(r["doc_id"] for r in before.select("doc_id").collect())
+
+    mdir = os.path.join(out_dir, "_manifests")
+    last = max(
+        f for f in os.listdir(mdir) if f.startswith("stream_batch_")
+    )
+    batch_id = json.load(open(os.path.join(mdir, last)))["batch_id"]
+    batch_urls = [
+        r["url"]
+        for r in spark.read.parquet(
+            os.path.join(docs_path, f"batch={batch_id}")
+        ).select("url").collect()
+    ]
+    # simulate the crash: manifest lost, data present → replay
+    os.remove(os.path.join(mdir, last))
+    replay_df = spark.createDataFrame(small_corpus_pdf).where(
+        F.col("url").isin(batch_urls)
+    )
+    b._process_batch(replay_df, batch_id)
+
+    after = spark.read.parquet(docs_path)
+    assert after.count() == n_before
+    assert sorted(r["doc_id"] for r in after.select("doc_id").collect()) == ids_before
+    assert os.path.exists(os.path.join(mdir, last))
 
 
 def test_compaction_preserves_results(spark, small_corpus_pdf, tmp_path):
@@ -128,6 +196,47 @@ def test_compaction_preserves_results(spark, small_corpus_pdf, tmp_path):
         r["doc_id"] for r in boolean_query(idx1, '"state of" -slow', with_urls=False).collect()
     ]
     assert bool_after == bool_before
+
+
+def test_compaction_half_swap_recovery(tmp_path):
+    """A crash between the two swap renames must be repaired at open:
+    roll FORWARD when the verified compacted dir survives, roll BACK when
+    only the old dir does, drop stale leftovers when postings is live."""
+    import os
+    import shutil
+
+    from searchengine_spark.index.compact import recover_compaction
+
+    def mk(idx, *dirs):
+        d = tmp_path / idx
+        d.mkdir()
+        for name in dirs:
+            (d / name).mkdir()
+            (d / name / "part-0.parquet").write_bytes(b"x")
+        return str(d)
+
+    # crash between rename(postings→old) and rename(compacted→postings)
+    d = mk("fwd", "postings_old", "postings_compacted")
+    assert recover_compaction(d) == "rolled_forward"
+    assert os.path.exists(os.path.join(d, "postings", "part-0.parquet"))
+    assert not os.path.exists(os.path.join(d, "postings_old"))
+
+    # compacted dir lost too (shouldn't happen, but must not strand)
+    d = mk("back", "postings_old")
+    assert recover_compaction(d) == "rolled_back"
+    assert os.path.exists(os.path.join(d, "postings", "part-0.parquet"))
+
+    # live postings + stale leftovers → leftovers dropped
+    d = mk("stale", "postings", "postings_old", "postings_compacted")
+    assert recover_compaction(d) is not None
+    assert os.path.exists(os.path.join(d, "postings", "part-0.parquet"))
+    assert not os.path.exists(os.path.join(d, "postings_old"))
+    assert not os.path.exists(os.path.join(d, "postings_compacted"))
+
+    # clean index → no-op
+    d = mk("clean", "postings")
+    assert recover_compaction(d) is None
+    shutil.rmtree(d)
 
 
 def test_streaming_windowed_agg_equals_batch(spark, tmp_path):

@@ -20,14 +20,16 @@ def _load_engine_index(spark, built_index):
     post = spark.read.option(
         "basePath", os.path.join(built_index, "postings")
     ).parquet(os.path.join(built_index, "postings"))
-    rows = post.orderBy("term", "bucket").collect()
+    rows = post.orderBy("term", "bucket", "doc_first").collect()
     idx = {}
     for r in rows:
         docs = decode_sorted(bytes(r["docs_vb"]))
         tfs = vb_decode(bytes(r["tfs_vb"])).astype(int)
         poss = decode_position_lists(bytes(r["pos_vb"]), tfs)
         entry = idx.setdefault(r["term"], [])
-        # bucket ascending == docID ascending: blocks simply concatenate
+        # (bucket, doc_first) ascending == docID ascending: blocks simply
+        # concatenate (a bucket may span several physical blocks when a
+        # segment/chunk boundary cuts it — their doc ranges are disjoint)
         for d, ps in zip(docs, poss):
             entry.append((int(d), [int(x) for x in ps]))
     return idx
