@@ -263,8 +263,12 @@ def _q_jaccard_pairs(spark, sf):
     one stopword shingle shared by d docs would otherwise emit d² join
     rows — the round-1 scale-killer (11 s at sf0.1, 20× the query
     median). Hot shingles carry no near-dup signal; exact duplicates
-    still score 1.0 because both sides lose the same shingles."""
-    sh = _shingles(spark, sf)
+    still score 1.0 because both sides lose the same shingles.
+
+    localCheckpoint: the shingle set feeds FOUR plan branches (df cap,
+    sizes, both join sides) — materialize once instead of recomputing
+    the tokenize+explode per branch."""
+    sh = _shingles(spark, sf).localCheckpoint()
     df_ok = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("sdf"))
@@ -368,8 +372,10 @@ _LSH_BANDS = 4  # 8 minhashes, bands of 2 rows
 
 def _q_lsh_band_pairs(spark, sf):
     """MinHash-LSH candidate pairs: docs sharing ≥1 of 4 (2-row) bands —
-    the banding stage that makes near-dup detection sub-quadratic."""
-    sigs = _q_minhash_signatures(spark, sf)
+    the banding stage that makes near-dup detection sub-quadratic.
+    Signatures are localCheckpoint'ed: the 4-band union + self-join
+    would otherwise recompute the whole MinHash pipeline 8×."""
+    sigs = _q_minhash_signatures(spark, sf).localCheckpoint()
     bands = None
     for i in range(_LSH_BANDS):
         b = sigs.select(

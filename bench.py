@@ -162,34 +162,63 @@ def _serve_clustered(cpus: int, n_docs: int) -> dict:
     idx_dir = tempfile.mkdtemp(prefix="bench_clustered_", dir=_SCRATCH)
     try:
         pages = generate_pages(spark, n_docs, parallelism=cpus * 2, clustered=True)
-        IndexBuilder(spark, idx_dir, bucket_docs=1 << 10).build(pages)
+        IndexBuilder(spark, idx_dir, bucket_docs=1 << 8).build(pages)
     finally:
         spark.stop()
     try:
         reader = LocalIndexReader(idx_dir)
         queries = [" ".join(topic_terms(t % 16, 2 + t % 3)) for t in range(48)]
-        for q in queries:
-            reader.ranked_topk(q, k=20)  # warm
-        pruned_frac, lat_on, lat_off = [], [], []
-        for q in queries:
+        for q in queries:  # warm metadata (lexicon/stats/doc-meta RAM)
+            reader.ranked_topk(q, k=20, prune=True)
+            reader.ranked_topk(q, k=20, prune=False)
+
+        def _p50(fn):
+            lats = []
+            for q in queries:
+                t0 = time.time()
+                fn(q)
+                lats.append(time.time() - t0)
+            lats.sort()
+            return round(lats[len(lats) // 2], 5)
+
+        pruned_frac = []
+
+        def _pruned_stats(q):
             st: dict = {}
-            t0 = time.time()
             reader.ranked_topk(q, k=20, prune=True, stats=st)
-            lat_on.append(time.time() - t0)
             if st.get("n_buckets"):
                 pruned_frac.append(st.get("pruned", 0) / st["n_buckets"])
-            t0 = time.time()
-            reader.ranked_topk(q, k=20, prune=False)
-            lat_off.append(time.time() - t0)
-        lat_on.sort(), lat_off.sort()
-        return {
+
+        def _cold(fn):
+            def run(q):
+                reader._block_cache.clear()  # big-shard regime: blobs
+                fn(q)                        # can't all stay RAM-hot
+
+            return run
+
+        out = {
             "n_docs": n_docs,
-            "p50_pruned_sec": round(lat_on[len(lat_on) // 2], 4),
-            "p50_full_sec": round(lat_off[len(lat_off) // 2], 4),
-            "mean_pruned_fraction": round(
-                sum(pruned_frac) / max(len(pruned_frac), 1), 3
+            # warm: every blob decoded+cached — pruning's UB pass is pure
+            # overhead here, reported anyway for honesty
+            "p50_warm_pruned_sec": _p50(
+                lambda q: reader.ranked_topk(q, k=20, prune=True)
+            ),
+            "p50_warm_full_sec": _p50(
+                lambda q: reader.ranked_topk(q, k=20, prune=False)
+            ),
+            # cold: pruning skips the blob fetch+decode of pruned buckets
+            # — the regime block-max exists for
+            "p50_cold_pruned_sec": _p50(
+                _cold(lambda q: _pruned_stats(q))
+            ),
+            "p50_cold_full_sec": _p50(
+                _cold(lambda q: reader.ranked_topk(q, k=20, prune=False))
             ),
         }
+        out["mean_pruned_fraction"] = round(
+            sum(pruned_frac) / max(len(pruned_frac), 1), 3
+        )
+        return out
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -226,6 +255,9 @@ def main() -> None:
         # tokenize kernel at ~0.67 for 4→16 and ~0.88 for 2→8, so pairs
         # at higher N measure host memory-bus saturation, not the
         # engine. On a real cluster each executor brings its own bus.
+        # NOISE FLOOR (measured, BASELINE.md §3): identical back-to-back
+        # runs on this VM swing up to 78% — treat any single efficiency
+        # number as a sample from a ±0.2 interval, never a verdict.
         n_lo = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
         # 400k docs: large enough that per-build fixed costs (range
         # sample + id-count jobs, ~3.5 s) amortize the way they would on

@@ -43,6 +43,23 @@ def test_engine_index_matches_oracle(spark, built_index, oracle_index):
         assert engine[t] == oracle[t], f"postings differ for {t!r}"
 
 
+def test_local_and_shuffle_postings_agree(spark, built_index, small_corpus_pdf, tmp_path):
+    """The zero-shuffle per-segment build and the groupBy(term,bucket)
+    build must produce the SAME logical index (same postings, tfs,
+    positions per term in docID order), differing only in physical block
+    granularity."""
+    from searchengine_spark.index.build import IndexBuilder
+
+    out = str(tmp_path / "shuffle_idx")
+    pages = spark.createDataFrame(small_corpus_pdf).repartition(8)
+    IndexBuilder(spark, out, bucket_docs=64, local_postings=False).build(pages)
+    local = _load_engine_index(spark, built_index)  # built with default (local)
+    shuf = _load_engine_index(spark, out)
+    assert set(local) == set(shuf)
+    for t in local:
+        assert local[t] == shuf[t], f"postings differ for {t!r}"
+
+
 def test_docs_table_matches_oracle(spark, built_index, oracle_index):
     docs = spark.read.parquet(os.path.join(built_index, "docs")).select(
         "doc_id", "url", "dl", "ld"
