@@ -60,6 +60,7 @@ class LocalIndexReader:
         self._stats_cache: dict[str, tuple] = {}
         self._docs_ram: tuple | None = None
         self._docs_ram_cap = int(os.environ.get("SPARK_GRAFT_SERVE_DOCS_RAM", 2_000_000))
+        self._rg: list[tuple] | None = None
 
     # -- lookups -----------------------------------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, int]:
@@ -75,13 +76,87 @@ class LocalIndexReader:
         lex = self._lexicon_ram
         return {t: lex[t] for t in terms if t in lex}
 
-    def _blocks(self, terms: list[str], buckets: list[int] | None = None):
+    def _rg_index(self) -> list[tuple]:
+        """Row-group interval index over the postings files: [(term_min,
+        term_max, row-group fragment)], built once from parquet footer
+        statistics. This is the serving tier's 'vocab binary search'
+        (DiskInvertedIndex.java:129-167) made physical: a term fetch
+        opens ONLY the row groups whose term interval matches, instead
+        of paying a ~0.35 ms/file dataset-scan overhead across every
+        file (measured: whole-dataset filtered scans cost the same
+        regardless of selectivity). Postings are written with 1 MiB row
+        groups precisely so these intervals are narrow."""
+        if self._rg is None:
+            entries = []
+            for frag in self.postings.get_fragments():
+                for info in frag.row_groups:
+                    st = info.statistics or {}
+                    t = st.get("term", {})
+                    b = st.get("bucket", {})
+                    entries.append(
+                        (
+                            t.get("min"), t.get("max"),
+                            b.get("min"), b.get("max"),
+                            frag, info.id,
+                        )
+                    )
+            self._rg = entries
+        return self._rg
+
+    def _fetch(
+        self,
+        columns: list[str],
+        terms: list[str],
+        buckets: list[int] | None = None,
+    ):
+        """Row-group-pruned fetch of posting blocks for the given terms."""
+        import pyarrow as pa
+
         filt = pc.field("term").isin(terms)
         if buckets is not None:
             filt = filt & pc.field("bucket").isin(buckets)
-        return self.postings.to_table(
-            columns=["term", "bucket", "docs_vb", "tfs_vb", "dls_vb"],
-            filter=filt,
+        idx = self._rg_index()
+        by_frag: dict[int, tuple] = {}
+        n_match = 0
+        for tmin, tmax, bmin, bmax, frag, rg_id in idx:
+            if tmin is not None and not any(
+                tmin <= t <= tmax for t in terms
+            ):
+                continue
+            if (
+                buckets is not None
+                and bmin is not None
+                and not any(bmin <= b <= bmax for b in buckets)
+            ):
+                continue
+            n_match += 1
+            key = id(frag)
+            if key not in by_frag:
+                by_frag[key] = (frag, [])
+            by_frag[key][1].append(rg_id)
+        if not by_frag:
+            return pa.table(
+                {
+                    c: pa.array([], type=self.postings.schema.field(c).type)
+                    for c in columns
+                }
+            )
+        # selectivity gate: when most row groups match anyway, the plain
+        # multithreaded dataset scan beats per-query dataset assembly
+        if n_match > 0.25 * len(idx):
+            return self.postings.to_table(columns=columns, filter=filt)
+        # one subset fragment per file (matched row groups only),
+        # scanned as a single dataset so reads stay multithreaded
+        subsets = [
+            frag.subset(row_group_ids=ids) for frag, ids in by_frag.values()
+        ]
+        return ds.FileSystemDataset(
+            subsets, self.postings.schema, ds.ParquetFileFormat()
+        ).to_table(columns=columns, filter=filt)
+
+    def _blocks(self, terms: list[str], buckets: list[int] | None = None):
+        return self._fetch(
+            ["term", "bucket", "docs_vb", "tfs_vb", "dls_vb"], terms, buckets
         )
 
     def _block_stats(self, terms: list[str]) -> dict[str, tuple]:
@@ -93,9 +168,8 @@ class LocalIndexReader:
         numpy arrays."""
         missing = [t for t in terms if t not in self._stats_cache]
         if missing:
-            t = self.postings.to_table(
-                columns=["term", "bucket", "max_tf", "min_dl", "min_ld"],
-                filter=pc.field("term").isin(missing),
+            t = self._fetch(
+                ["term", "bucket", "max_tf", "min_dl", "min_ld"], missing
             )
             tl = t["term"].to_pylist()
             b = t["bucket"].to_numpy()
@@ -446,10 +520,7 @@ class LocalIndexReader:
         terms = sorted(t for t in rec.terms if t)
         index: dict[str, list] = {}
         if terms:
-            t = self.postings.to_table(
-                columns=["term", "docs_vb", "tfs_vb", "pos_vb"],
-                filter=pc.field("term").isin(terms),
-            )
+            t = self._fetch(["term", "docs_vb", "tfs_vb", "pos_vb"], terms)
             for term, dvb, tvb, pvb in zip(
                 t["term"].to_pylist(),
                 t["docs_vb"].to_pylist(),
