@@ -319,6 +319,53 @@ def _q_minhash_signatures(spark, sf):
     return sh.groupBy("doc_id").agg(*cols).orderBy("doc_id")
 
 
+def _q_lsh_jaccard_verified(spark, sf):
+    """The END-TO-END sub-quadratic near-dup pipeline: MinHash-LSH band
+    candidates (sub-quadratic) → EXACT df-capped Jaccard verification of
+    candidates only → pairs ≥ 0.5. At 100 TB this is the dedup shape
+    that works: the all-pairs verify cost collapses from O(d²) over the
+    corpus to O(|candidates|), and candidates are bounded by the banding
+    collision rate."""
+    cand = _q_lsh_band_pairs(spark, sf)
+    sh = _shingles(spark, sf)
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .where(F.col("sdf") <= _JACCARD_MAX_DF)
+        .select("shingle")
+    )
+    sh = sh.join(df_ok, "shingle").localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _q_cosine_topk(spark, sf):
     """Brute-force cosine top-k neighbours of vec_id 0 (ANN baseline)."""
     e = _emb(spark, sf).select(
@@ -701,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "simhash_fingerprints": _q_simhash,
         "lsh_band_pairs": _q_lsh_band_pairs,
+        "lsh_jaccard_verified": _q_lsh_jaccard_verified,
         "cosine_topk": _q_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "token_counts": _q_token_counts,
@@ -903,6 +951,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b USING (band, h1, h2)
             WHERE a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b""",
+        "lsh_jaccard_verified": f"""
+            WITH sigs AS (SELECT * FROM {sigs} sg),
+                 bands AS ({lsh_bands}),
+                 cand AS (
+                   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b USING (band, h1, h2)
+                   WHERE a.doc_id < b.doc_id),
+                 sh_all AS (SELECT * FROM {shingles}),
+                 sh AS (SELECT * FROM sh_all WHERE shingle IN (
+                          SELECT shingle FROM sh_all GROUP BY shingle
+                          HAVING count(*) <= {_JACCARD_MAX_DF})),
+                 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+                 inter AS (
+                   SELECT c.doc_a, c.doc_b, count(*) AS inter
+                   FROM cand c
+                   JOIN sh a ON a.doc_id = c.doc_a
+                   JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+                   GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                       JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
             ORDER BY doc_a, doc_b""",
         "ann_ivf_topk": _ivf_oracle_sql(),
         "token_counts": """
