@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..index.build import (
     DEFAULT_BUCKET_DOCS,
     assign_dense_ids,
-    build_postings_for_docs,
+    build_postings_local,
 )
 from ..text.udfs import tokenize_doc
 
@@ -93,7 +93,7 @@ class StreamingIndexBuilder:
         docs.write.mode("overwrite").parquet(
             os.path.join(self.out, "docs", f"batch={batch_id}")
         )
-        post = build_postings_for_docs(
+        post = build_postings_local(
             docs.select("doc_id", "dl", "ld", "terms"), self.bucket_docs
         )
         cdir = os.path.join(self.out, "postings", f"chunk=stream_{batch_id}")
