@@ -303,11 +303,10 @@ def _q_jaccard_pairs(spark, sf):
 _MINHASH_K = 8
 
 
-def _q_minhash_signatures(spark, sf):
-    """Portable MinHash: h_i(s) = int64(first 15 hex of md5(i||' '||s));
-    signature = per-doc min per i. LSH banding pairs are derived from
-    these signatures (band = 2 rows)."""
-    sh = _shingles(spark, sf)
+def _minhash_signatures_from(sh):
+    """MinHash signature aggregation over a (doc_id, shingle) set:
+    h_i(s) = int64(first 15 hex of md5(i||' '||s)); signature = per-doc
+    min per i (band = 2 rows downstream)."""
     cols = []
     for i in range(_MINHASH_K):
         h = F.conv(
@@ -316,7 +315,12 @@ def _q_minhash_signatures(spark, sf):
             10,
         ).cast("bigint")
         cols.append(F.min(h).alias(f"mh{i}"))
-    return sh.groupBy("doc_id").agg(*cols).orderBy("doc_id")
+    return sh.groupBy("doc_id").agg(*cols)
+
+
+def _q_minhash_signatures(spark, sf):
+    """Portable MinHash signatures per doc (oracle-checked entry)."""
+    return _minhash_signatures_from(_shingles(spark, sf)).orderBy("doc_id")
 
 
 def _q_lsh_jaccard_verified(spark, sf):
@@ -325,16 +329,22 @@ def _q_lsh_jaccard_verified(spark, sf):
     candidates only → pairs ≥ 0.5. At 100 TB this is the dedup shape
     that works: the all-pairs verify cost collapses from O(d²) over the
     corpus to O(|candidates|), and candidates are bounded by the banding
-    collision rate."""
-    cand = _q_lsh_band_pairs(spark, sf)
-    sh = _shingles(spark, sf)
+    collision rate.
+
+    ONE shingle materialization (localCheckpoint) feeds every branch —
+    signatures → bands → candidates, the df cap, set sizes, and both
+    verification join sides (round-2 recomputed the tokenize+explode ~3×
+    and the MinHash pipeline twice; the oracle already shared these via
+    CTEs)."""
+    sh_all = _shingles(spark, sf).localCheckpoint()
+    cand = _band_pairs_from(_minhash_signatures_from(sh_all).localCheckpoint())
     df_ok = (
-        sh.groupBy("shingle")
+        sh_all.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("sdf"))
         .where(F.col("sdf") <= _JACCARD_MAX_DF)
         .select("shingle")
     )
-    sh = sh.join(df_ok, "shingle").localCheckpoint()
+    sh = sh_all.join(df_ok, "shingle").localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -417,12 +427,9 @@ def _q_simhash(spark, sf):
 _LSH_BANDS = 4  # 8 minhashes, bands of 2 rows
 
 
-def _q_lsh_band_pairs(spark, sf):
-    """MinHash-LSH candidate pairs: docs sharing ≥1 of 4 (2-row) bands —
-    the banding stage that makes near-dup detection sub-quadratic.
-    Signatures are localCheckpoint'ed: the 4-band union + self-join
-    would otherwise recompute the whole MinHash pipeline 8×."""
-    sigs = _q_minhash_signatures(spark, sf).localCheckpoint()
+def _band_pairs_from(sigs):
+    """LSH banding over materialized signatures: docs sharing ≥1 of 4
+    (2-row) bands — the stage that makes near-dup detection sub-quadratic."""
     bands = None
     for i in range(_LSH_BANDS):
         b = sigs.select(
@@ -438,8 +445,16 @@ def _q_lsh_band_pairs(spark, sf):
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def _q_lsh_band_pairs(spark, sf):
+    """MinHash-LSH candidate pairs (oracle-checked entry). Signatures are
+    localCheckpoint'ed: the 4-band union + self-join would otherwise
+    recompute the whole MinHash pipeline 8×."""
+    return _band_pairs_from(
+        _q_minhash_signatures(spark, sf).localCheckpoint()
+    ).orderBy("doc_a", "doc_b")
 
 
 _IVF_CELLS = 8
@@ -474,18 +489,10 @@ def _ivf_assign(e, cents):
     )
 
 
-def _q_ann_ivf_topk(spark, sf):
-    """IVF ANN with a REAL k-means coarse quantizer: Lloyd's algorithm
-    (init = vectors 0..K-1, _IVF_ITERS unrolled iterations), then the
-    query (vec 0) probes its _IVF_NPROBE nearest cells only — measured
-    recall@10 vs the brute-force cosine_topk baseline is 0.9 while
-    scanning ~23% of vectors at sf0.01 (tests/test_entry_extras.py).
-
-    Centroid means use the integer-scaled (1e-6-quantized) sum so the
-    update is associative — bit-identical on Spark and DuckDB regardless
-    of partition/combine order. At 1e9+ vectors the window-based argmin
-    becomes a map-side pandas kernel against broadcast centroids; the
-    cell-pruned candidate scan shape is unchanged."""
+def _ivf_candidates(spark, sf, nprobe):
+    """The IVF candidate set (cell-pruned scan) at an explicit nprobe,
+    with the query vector attached — shared by the oracle-checked top-k
+    entry and bench.py's recall/scan-fraction sweep."""
     e = _emb(spark, sf).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -521,14 +528,18 @@ def _q_ann_ivf_topk(spark, sf):
         cents.crossJoin(F.broadcast(q))
         .select("cid", cos_cq.alias("cos_q"))
         .orderBy(F.desc("cos_q"), F.asc("cid"))
-        .limit(_IVF_NPROBE)
+        .limit(nprobe)
         .select(F.col("cid").alias("cell"))
     )
-    cand = (
+    return (
         assign.join(F.broadcast(qcells), "cell")
         .where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
     )
+
+
+def _ann_ivf_topk_at(spark, sf, nprobe):
+    cand = _ivf_candidates(spark, sf, nprobe)
     cos_qv = _ivf_dot(F.col("v"), F.col("qv")) / (
         _ivf_nrm(F.col("v")) * _ivf_nrm(F.col("qv"))
     )
@@ -537,6 +548,42 @@ def _q_ann_ivf_topk(spark, sf):
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def ann_recall_curve(spark, sf, nprobes=(1, 2, 4)) -> list:
+    """recall@10 vs the brute-force cosine baseline and the fraction of
+    the corpus scanned, per nprobe — makes the IVF accuracy/cost
+    trade-off legible (emitted into the bench detail)."""
+    brute = {r["vec_id"] for r in _q_cosine_topk(spark, sf).collect()}
+    n_total = _emb(spark, sf).where(F.col("vec_id") != 0).count()
+    out = []
+    for np_ in nprobes:
+        got = {r["vec_id"] for r in _ann_ivf_topk_at(spark, sf, np_).collect()}
+        scanned = _ivf_candidates(spark, sf, np_).count()
+        out.append(
+            {
+                "nprobe": np_,
+                "recall_at_10": round(len(brute & got) / max(len(brute), 1), 3),
+                "scan_fraction": round(scanned / max(n_total, 1), 3),
+            }
+        )
+    return out
+
+
+def _q_ann_ivf_topk(spark, sf):
+    """IVF ANN with a REAL k-means coarse quantizer: Lloyd's algorithm
+    (init = vectors 0..K-1, _IVF_ITERS unrolled iterations), then the
+    query (vec 0) probes its _IVF_NPROBE nearest cells only — measured
+    recall@10 vs the brute-force cosine_topk baseline is 0.9 while
+    scanning ~23% of vectors at sf0.01 (tests/test_entry_extras.py;
+    bench.py reports the recall curve at nprobe 1/2/4).
+
+    Centroid means use the integer-scaled (1e-6-quantized) sum so the
+    update is associative — bit-identical on Spark and DuckDB regardless
+    of partition/combine order. At 1e9+ vectors the window-based argmin
+    becomes a map-side pandas kernel against broadcast centroids; the
+    cell-pruned candidate scan shape is unchanged."""
+    return _ann_ivf_topk_at(spark, sf, _IVF_NPROBE)
 
 
 def _q_token_counts(spark, sf):

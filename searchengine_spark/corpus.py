@@ -22,6 +22,7 @@ from datetime import datetime, timezone
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 SEED = 42
 _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -149,6 +150,32 @@ def generate_pages(
 
     rng_df = spark.range(0, n_docs, numPartitions=parallelism or max(2, n_docs // 2500))
     return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def split_master_json(spark: SparkSession, json_path: str) -> DataFrame:
+    """The reference's one-time corpus prep (S1), Spark-shaped: split a
+    master ``{"documents": [{"body": …}, …]}`` file into per-document
+    rows (FormCorpus.initCorpus, Milestone1/FormCorpus.java:32-51 —
+    there: one ``N.json`` file per doc, N sequential from 1; readdir over
+    those names is the engine's docID walk order).
+
+    At web scale a table IS the corpus — millions of tiny .json files are
+    the anti-pattern — so this emits the ``pages`` input shape directly:
+    ``url`` = zero-padded ``N.json`` (url sort order ≡ the reference's
+    sequential write index, so downstream dense-id assignment reproduces
+    its docIDs), body as ``text``. ``posexplode`` keeps the array order
+    without any window or collect."""
+    raw = spark.read.option("multiLine", "true").json(json_path)
+    return (
+        raw.select(F.posexplode("documents").alias("pos", "d"))
+        .select(
+            F.format_string("%09d.json", F.col("pos") + 1).alias("url"),
+            F.lit(_EPOCH).alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            F.col("d.body").cast("string").alias("text"),
+            F.lit("en").alias("lang"),
+        )
+    )
 
 
 def topic_terms(topic: int, k: int = 5) -> list[str]:

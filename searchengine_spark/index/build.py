@@ -50,64 +50,159 @@ from .varbyte import encode_positions_flat, encode_sorted, vb_encode
 
 DEFAULT_BUCKET_DOCS = 1 << 17  # 131,072 docs per posting block row
 
+# On-disk layout version. 2 = int64 max_tf in posting blocks + docs written
+# under batch=<id> subdirs by streaming ingest. Bumped whenever the physical
+# parquet schema or directory layout changes incompatibly; builders refuse
+# to RESUME into a directory stamped with a different version (or an
+# unstamped half-built one) — mixing physical schemas/layouts in one
+# directory breaks Spark's vectorized parquet reader and partition
+# discovery at read time, far from the cause.
+LAYOUT_VERSION = 2
+
+
+def ensure_layout(out_dir: str) -> None:
+    """Stamp a fresh index directory with the current layout version, or
+    verify an existing stamp before any resume touches the directory."""
+    mdir = os.path.join(out_dir, "_manifests")
+    os.makedirs(mdir, exist_ok=True)
+    lp = os.path.join(mdir, "layout.json")
+    if os.path.exists(lp):
+        v = json.load(open(lp)).get("layout")
+        if v != LAYOUT_VERSION:
+            raise RuntimeError(
+                f"index dir {out_dir} has layout version {v}, this build "
+                f"writes {LAYOUT_VERSION}; resuming would mix physical "
+                "schemas/layouts — rebuild, or migrate the directory first"
+            )
+        return
+    has_prior = any(f.endswith(".json") for f in os.listdir(mdir)) or any(
+        os.path.exists(os.path.join(out_dir, d)) for d in ("postings", "docs")
+    )
+    if has_prior:
+        raise RuntimeError(
+            f"index dir {out_dir} holds pre-layout-{LAYOUT_VERSION} build "
+            "state (no layout stamp); resuming with current code would mix "
+            "int32/int64 max_tf schemas and docs layouts — rebuild, or "
+            "migrate the directory first"
+        )
+    tmp = lp + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"layout": LAYOUT_VERSION, "max_tf": "int64", "docs": "batch-partitioned-or-flat"},
+            f,
+        )
+    os.replace(tmp, lp)
+
 
 # --------------------------------------------------------------------------
 # dense doc_id assignment — no global window, no driver collect of data
 # --------------------------------------------------------------------------
 
-def assign_dense_ids(
-    df: DataFrame,
-    order_col: str = "url",
-    id_col: str = "doc_id",
-    start: int = 0,
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """0-based dense ids in ``order_col`` order (SURVEY §1.1: the Spark
-    analogue of the reference's file-visit docID, SimpleEngine.java:58-75,
-    with url order as the documented deterministic walk order).
-
-    Scalable recipe: range-repartition by the key, persist so both passes
-    see one materialization, count rows per partition (tiny driver
-    collect: one long per partition), broadcast cumulative offsets, then
-    sortWithinPartitions + per-partition local enumeration via
-    ``monotonically_increasing_id`` arithmetic (high 31 bits = partition
-    index, low 33 bits = record number — documented Spark layout). A
-    plain ``row_number() OVER (ORDER BY url)`` collapses to one task —
-    wrong at 10^12 rows; and a ``Window.partitionBy(pid)`` re-shuffles
-    the whole table by pid (Catalyst can't prove RangePartitioning(url)
-    clusters pid) — the round-1 version paid that second full exchange.
-    Assumes < 2^33 rows per range partition (always true: partition
-    count scales with the corpus)."""
-    n_parts = num_partitions or max(
-        df.sparkSession.sparkContext.defaultParallelism, 8
-    )
-    parts = df.repartitionByRange(n_parts, F.col(order_col)).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    counts = parts.select(
-        F.spark_partition_id().alias("_pid")
-    ).groupBy("_pid").count().collect()
-    by_pid = {r["_pid"]: r["count"] for r in counts}
-    offsets: dict[int, int] = {}
-    acc = start
-    for pid in sorted(by_pid):
-        offsets[pid] = acc
-        acc += by_pid[pid]
+def _ids_from_offsets(parts: DataFrame, order_col: str, id_col: str, offsets: dict[int, int]) -> DataFrame:
+    """Per-partition local enumeration on TOP of a local sort, shifted by
+    broadcast offsets, via ``monotonically_increasing_id`` arithmetic
+    (high 31 bits = partition index, low 33 bits = record number —
+    documented Spark layout). Partition indices are stable across the
+    persisted RDD (no exchange in between). Assumes < 2^33 rows per
+    partition (always true: partition count scales with the corpus)."""
     off_expr = F.create_map(
         *[x for pid, o in offsets.items() for x in (F.lit(pid), F.lit(o))]
     )
     mid = F.monotonically_increasing_id()
     pid_of = F.shiftrightunsigned(mid, 33).cast("int")
     local_of = mid.bitwiseAND(F.lit((1 << 33) - 1))
-    # the projection sits ON TOP of the local sort, so record numbers
-    # enumerate rows in sorted (order_col) order; partition indices are
-    # stable across the persisted RDD (no exchange in between)
-    out = parts.sortWithinPartitions(order_col).withColumn(
+    return parts.sortWithinPartitions(order_col).withColumn(
         id_col, (local_of + off_expr[pid_of]).cast("long")
     )
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_col: str = "url",
+    id_col: str = "doc_id",
+    start: int = 0,
+    num_partitions=None,
+) -> DataFrame:
+    """0-based dense ids in ``order_col`` order (SURVEY §1.1: the Spark
+    analogue of the reference's file-visit docID, SimpleEngine.java:58-75,
+    with url order as the documented deterministic walk order).
+
+    FAST PATH (sorted inputs — zero shuffle, ONE pre-write job): persist
+    the input on its OWN partitioning, compute per-partition
+    (count, min, max) of the key in a single tiny-result job, and if the
+    partition key-ranges are strictly non-overlapping assign offsets by
+    range order — the ids then need NO exchange at all (local sort +
+    offset arithmetic). Crawl dumps land partition-sorted by url/prefix,
+    and parquet/Iceberg file splits of sorted data inherit the property,
+    so at web scale this is the COMMON case: with it, the whole index
+    build is shuffle-free end to end. The check is on actual partition
+    contents, so it is safe for any source.
+
+    FALLBACK (overlapping inputs): range-repartition by the key (the
+    sampling pass reads the persisted rows, not the raw source), count
+    rows per partition, same offset arithmetic — one exchange, never a
+    global single-task window (a plain ``row_number() OVER (ORDER BY
+    url)`` collapses to one task — wrong at 10^12 rows; and a
+    ``Window.partitionBy(pid)`` re-shuffles the whole table by pid — the
+    round-1 version paid that second full exchange).
+
+    ``num_partitions`` may be an int or a callable(total_rows) → int,
+    resolved only on the fallback path (the fast path keeps the input
+    partitioning); callers no longer pre-count the input for it."""
+    parts = df.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = (
+        parts.select(
+            F.spark_partition_id().alias("_pid"), F.col(order_col).alias("_k")
+        )
+        .groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_k").alias("lo"),
+            F.max("_k").alias("hi"),
+        )
+        .collect()
+    )
+    live = sorted(
+        (r for r in stats if r["n"] > 0), key=lambda r: (r["lo"], r["hi"])
+    )
+    total = sum(r["n"] for r in live)
+    non_overlap = all(
+        live[i]["hi"] < live[i + 1]["lo"] for i in range(len(live) - 1)
+    )
+    if non_overlap:
+        offsets: dict[int, int] = {}
+        acc = start
+        for r in live:
+            offsets[r["_pid"]] = acc
+            acc += r["n"]
+        out = _ids_from_offsets(parts, order_col, id_col, offsets)
+        out._sg_persisted = parts
+        out._sg_n_rows = total
+        return out
+    # overlapping input partitions: pay the one range exchange
+    if callable(num_partitions):
+        num_partitions = num_partitions(total)
+    n_parts = num_partitions or max(
+        df.sparkSession.sparkContext.defaultParallelism, 8
+    )
+    ranged = parts.repartitionByRange(n_parts, F.col(order_col)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    counts = ranged.select(
+        F.spark_partition_id().alias("_pid")
+    ).groupBy("_pid").count().collect()
+    parts.unpersist()  # ranged is materialized; the input copy can go
+    by_pid = {r["_pid"]: r["count"] for r in counts}
+    offsets = {}
+    acc = start
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+    out = _ids_from_offsets(ranged, order_col, id_col, offsets)
     # expose the persisted intermediate so callers can free it once the
     # ids are materialized downstream
-    out._sg_persisted = parts
+    out._sg_persisted = ranged
+    out._sg_n_rows = total
     return out
 
 
@@ -233,7 +328,16 @@ def _encode_partition(batches):
     ld = tbl.column("ld").combine_chunks().to_numpy(zero_copy_only=False)
     pos = tbl.column("positions").combine_chunks()
 
-    order = np.lexsort((doc_id, bucket, codes))
+    # sort by LEXICOGRAPHIC term (not dictionary code = first-appearance
+    # order): the output file is then truly (term, bucket, doc)-sorted, so
+    # parquet row-group term min/max stats are narrow intervals — that is
+    # what makes both Spark's In(term) row-group skipping and the serving
+    # tier's binary-searched interval index actually prune. Rank the
+    # (small) vocab once; rows sort by the rank.
+    vocab_np = np.asarray(vocab.to_pylist(), dtype=object)
+    rank = np.empty(len(vocab_np), dtype=np.int64)
+    rank[np.argsort(vocab_np)] = np.arange(len(vocab_np))
+    order = np.lexsort((doc_id, bucket, rank[codes]))
     codes_s = codes[order]
     bucket_s = bucket[order]
     doc_s = doc_id[order]
@@ -360,7 +464,11 @@ def build_postings_for_docs(
         ).alias("plist"),
         F.count(F.lit(1)).cast("int").alias("df_b"),
         F.sum("tf").alias("cf_b"),
-        F.max("tf").alias("max_tf"),
+        # cast: tf is int32 (tokenizer schema) but the on-disk contract is
+        # int64 (POSTINGS_FIELDS) — without it this path and the
+        # zero-shuffle path write different physical parquet schemas into
+        # one postings directory, which the vectorized reader rejects
+        F.max("tf").cast("long").alias("max_tf"),
         F.min("dl").alias("min_dl"),
         # block-min Ld: upper-bounds the tfidf_ref score of any doc in the
         # block (score = acc/Ld), the tf-idf analogue of BM25's min_dl
@@ -437,7 +545,7 @@ class IndexBuilder:
         # partitions; 2.2× recovered by resizing). At 10^12 docs this is
         # ~40M tasks per stage — the cluster-sized shape.
         self.docs_per_task = docs_per_task
-        os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+        ensure_layout(out_dir)
 
     # -- manifest helpers ---------------------------------------------------
     def _manifest_path(self, name: str) -> str:
@@ -463,9 +571,7 @@ class IndexBuilder:
         """Full build: docs table once, then postings chunk by chunk.
         Safe to re-invoke after a crash — committed chunks are skipped."""
         t0 = time.time()
-        # one column-less metadata-cheap count to size every stage's task
-        # count by data volume (see docs_per_task)
-        n_input = pages.count()
+        phases: dict[str, float] = {}
         docs_path = os.path.join(self.out, "docs")
         if not self._committed("docs"):
             # assign ids BEFORE tokenizing: the range shuffle + per-partition
@@ -483,11 +589,18 @@ class IndexBuilder:
                     else extract_text(F.col("html"))
                 )
                 pages = pages.withColumn("text", text_col)
+            # num_partitions resolves lazily from the stats job's row count
+            # (fallback path only) — the old up-front pages.count() job and
+            # the range-sample job are gone; on partition-sorted inputs id
+            # assignment itself is shuffle-free, making the WHOLE build
+            # zero-exchange
+            pt = time.time()
             with_ids = assign_dense_ids(
                 pages.select("url", "warc_ts", "lang", "text"),
                 order_col="url",
-                num_partitions=self._task_count(n_input),
+                num_partitions=self._task_count,
             )
+            phases["id_stats"] = time.time() - pt
             tk = with_ids.withColumn("tk", tokenize_doc(F.col("text")))
             docs = tk.select(
                 "doc_id",
@@ -606,6 +719,7 @@ class IndexBuilder:
             stats.append(m)
         conf.set("spark.sql.shuffle.partitions", old_sp)
 
+        pt = time.time()
         if not self._committed("lexicon"):
             post_all = self.spark.read.option("basePath", os.path.join(self.out, "postings")).parquet(
                 os.path.join(self.out, "postings")
@@ -623,6 +737,7 @@ class IndexBuilder:
                 os.path.join(self.out, "lexicon")
             )
             self._commit("lexicon", {"stage": "lexicon"})
+        phases["lexicon"] = time.time() - pt
 
         if not self._committed("meta"):
             total_dl = docs_man.get("total_dl")
@@ -640,9 +755,12 @@ class IndexBuilder:
                 },
             )
         total = time.time() - t0
+        phases["docs"] = docs_man.get("elapsed_sec", 0.0)
+        phases["postings"] = sum(s.get("elapsed_sec", 0.0) for s in stats)
         return {
             "n_docs": n_docs,
             "chunks": stats,
             "elapsed_sec": total,
             "docs_per_sec": n_docs / max(total, 1e-9),
+            "phase_secs": {k: round(v, 3) for k, v in phases.items()},
         }

@@ -96,7 +96,38 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def recover_compaction(idx_dir: str) -> str | None:
+_SENTINEL = "_compaction_in_progress"
+
+
+def _sentinel_path(idx_dir: str) -> str:
+    return os.path.join(idx_dir, _SENTINEL)
+
+
+def _sentinel_held(idx_dir: str, ttl_sec: float) -> bool:
+    """True while a LIVE compaction owns the layout: the sentinel exists,
+    is fresher than ttl_sec, and (when written by this host) its pid is
+    still alive. A crashed compactor's sentinel goes stale and repair
+    proceeds."""
+    p = _sentinel_path(idx_dir)
+    try:
+        st = os.stat(p)
+    except FileNotFoundError:
+        return False
+    if time.time() - st.st_mtime > ttl_sec:
+        return False
+    try:
+        info = json.load(open(p))
+        pid = int(info.get("pid", 0))
+        if pid:
+            os.kill(pid, 0)  # raises if the writer died (same-host check)
+    except (ProcessLookupError,):
+        return False
+    except Exception:
+        pass  # unreadable/foreign sentinel: trust the TTL
+    return True
+
+
+def recover_compaction(idx_dir: str, ttl_sec: float = 3600.0) -> str | None:
     """Detect and repair a half-finished compaction swap (crash between
     the two renames in compact_index). Returns the action taken, or None.
 
@@ -110,10 +141,28 @@ def recover_compaction(idx_dir: str) -> str | None:
       * postings missing + only postings_old present → roll BACK
       * postings present + leftovers → delete the leftovers (either the
         swap finished and cleanup died, or compaction never swapped)
-    """
+
+    Mutual exclusion: compact_index holds a sentinel file while it works;
+    while the sentinel is live (fresh + writer pid alive) this function
+    takes NO action — a reader opening mid-compaction must not delete the
+    writer's in-progress postings_compacted dir or roll its swap forward
+    between the writer's own renames. If the sentinel is live AND the
+    postings dir is missing, the writer is inside the two-rename window:
+    raise rather than race it (the caller retries after the swap)."""
     post_dir = os.path.join(idx_dir, "postings")
     old_dir = os.path.join(idx_dir, "postings_old")
     new_dir = os.path.join(idx_dir, "postings_compacted")
+    if _sentinel_held(idx_dir, ttl_sec):
+        if os.path.exists(post_dir):
+            return None  # live compaction, layout intact: nothing to do
+        raise RuntimeError(
+            f"compaction in progress on {idx_dir} (mid-swap); retry shortly"
+        )
+    # not held: any sentinel left behind is a crashed compactor's — clear it
+    try:
+        os.remove(_sentinel_path(idx_dir))
+    except FileNotFoundError:
+        pass
     if os.path.exists(post_dir):
         action = None
         if os.path.exists(new_dir):
@@ -136,6 +185,23 @@ def recover_compaction(idx_dir: str) -> str | None:
 def compact_index(spark: SparkSession, idx_dir: str) -> dict:
     t0 = time.time()
     recover_compaction(idx_dir)
+    # hold the layout: concurrent index opens must neither delete the
+    # in-progress postings_compacted dir nor roll the swap forward while
+    # this process is between its two renames (ADVICE r2)
+    sent = _sentinel_path(idx_dir)
+    with open(sent + ".tmp", "w") as f:
+        json.dump({"pid": os.getpid(), "started": time.time()}, f)
+    os.replace(sent + ".tmp", sent)
+    try:
+        return _compact_locked(spark, idx_dir, t0)
+    finally:
+        try:
+            os.remove(sent)
+        except FileNotFoundError:
+            pass
+
+
+def _compact_locked(spark: SparkSession, idx_dir: str, t0: float) -> dict:
     post_dir = os.path.join(idx_dir, "postings")
     post = spark.read.option("basePath", post_dir).parquet(post_dir)
     before = post.agg(

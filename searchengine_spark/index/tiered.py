@@ -114,8 +114,10 @@ def build_tiered_scored(
     if bucket_docs is None:
         bucket_docs = int(idx.meta.get("bucket_docs", 1 << 17))
     n_docs = float(idx.meta["n_docs"])
-    all_terms = [r["term"] for r in idx.lexicon.select("term").collect()]
-    decoded = decoded_postings(idx, all_terms)
+    # full-index decode, NO term filter: the vocabulary never transits the
+    # driver (the round-2 lexicon.collect() was a driver-memory item at
+    # web vocab scale, VERDICT r2 'what's wrong' #4)
+    decoded = decoded_postings(idx, None)
     # slim label pass: only (term, doc_id, tf) gathers per term; the
     # labels (+ frozen-N scores) join back to the distributed rows
     labels = (
@@ -201,8 +203,8 @@ def build_tiered(
     idx = IndexHandle(spark, idx_dir)
     if bucket_docs is None:
         bucket_docs = int(idx.meta.get("bucket_docs", 1 << 17))
-    all_terms = [r["term"] for r in idx.lexicon.select("term").collect()]
-    decoded = decoded_postings_with_positions(idx, all_terms)
+    # full-index decode, NO term filter (see build_tiered_scored note)
+    decoded = decoded_postings_with_positions(idx, None)
     # slim label pass (term, doc_id, tf) → labels joined back: positions
     # stay distributed, never gathered into the per-term task
     labels = (

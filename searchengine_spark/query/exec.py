@@ -134,12 +134,18 @@ def _decode_blocks_plain(batches):
             )
 
 
-def decoded_postings(idx: IndexHandle, terms: list[str]) -> DataFrame:
+def decoded_postings(
+    idx: IndexHandle, terms: list[str] | None
+) -> DataFrame:
     """Bucket-pruned scan (parquet row-group min/max on the term-sorted
-    files is the 'vocab binary search' analogue, SURVEY §4) + decode."""
-    blocks = idx.postings.filter(F.col("term").isin(list(set(terms)))).select(
-        "term", "docs_vb", "tfs_vb", "dls_vb"
-    )
+    files is the 'vocab binary search' analogue, SURVEY §4) + decode.
+    ``terms=None`` decodes the WHOLE postings table (full-index passes
+    like the tiered build) without materializing the vocabulary anywhere
+    — no filter, no driver collect."""
+    blocks = idx.postings
+    if terms is not None:
+        blocks = blocks.filter(F.col("term").isin(list(set(terms))))
+    blocks = blocks.select("term", "docs_vb", "tfs_vb", "dls_vb")
     return blocks.mapInPandas(
         _decode_blocks, schema="term string, doc_id long, tf long, dl long"
     )
@@ -175,10 +181,13 @@ def _decode_blocks_with_positions(batches):
             )
 
 
-def decoded_postings_with_positions(idx: IndexHandle, terms: list[str]) -> DataFrame:
-    blocks = idx.postings.filter(F.col("term").isin(list(set(terms)))).select(
-        "term", "docs_vb", "tfs_vb", "pos_vb"
-    )
+def decoded_postings_with_positions(
+    idx: IndexHandle, terms: list[str] | None
+) -> DataFrame:
+    blocks = idx.postings
+    if terms is not None:
+        blocks = blocks.filter(F.col("term").isin(list(set(terms))))
+    blocks = blocks.select("term", "docs_vb", "tfs_vb", "pos_vb")
     return blocks.mapInPandas(
         _decode_blocks_with_positions,
         schema="term string, doc_id long, tf long, positions array<int>",

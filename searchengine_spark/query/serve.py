@@ -76,31 +76,61 @@ class LocalIndexReader:
         lex = self._lexicon_ram
         return {t: lex[t] for t in terms if t in lex}
 
-    def _rg_index(self) -> list[tuple]:
-        """Row-group interval index over the postings files: [(term_min,
-        term_max, row-group fragment)], built once from parquet footer
-        statistics. This is the serving tier's 'vocab binary search'
-        (DiskInvertedIndex.java:129-167) made physical: a term fetch
-        opens ONLY the row groups whose term interval matches, instead
-        of paying a ~0.35 ms/file dataset-scan overhead across every
-        file (measured: whole-dataset filtered scans cost the same
-        regardless of selectivity). Postings are written with 1 MiB row
-        groups precisely so these intervals are narrow."""
+    def _rg_index(self) -> list[dict]:
+        """Row-group interval index over the postings files, one record
+        per fragment with COLUMNAR numpy stats arrays, built once from
+        parquet footer statistics. This is the serving tier's 'vocab
+        binary search' (DiskInvertedIndex.java:129-167) made physical: a
+        term fetch opens ONLY the row groups whose term interval matches.
+        Postings files are written (term, bucket)-sorted with 1 MiB row
+        groups, so within a file both term_min and term_max are
+        non-decreasing and the row groups matching a term form one
+        contiguous run — found by TWO binary searches per (term, file)
+        instead of the pre-round-3 linear walk over every entry × every
+        term (O(10⁶) Python steps per query on a big shard). Sortedness
+        is VERIFIED per fragment; unsorted or stat-less fragments (e.g.
+        foreign files) fall back to the linear walk, so correctness never
+        rests on the layout claim."""
         if self._rg is None:
-            entries = []
+            frags = []
             for frag in self.postings.get_fragments():
+                tmin, tmax, bmin, bmax, ids = [], [], [], [], []
                 for info in frag.row_groups:
                     st = info.statistics or {}
                     t = st.get("term", {})
                     b = st.get("bucket", {})
-                    entries.append(
-                        (
-                            t.get("min"), t.get("max"),
-                            b.get("min"), b.get("max"),
-                            frag, info.id,
-                        )
-                    )
-            self._rg = entries
+                    tmin.append(t.get("min"))
+                    tmax.append(t.get("max"))
+                    bmin.append(b.get("min"))
+                    bmax.append(b.get("max"))
+                    ids.append(info.id)
+                rec = {
+                    "frag": frag,
+                    "ids": np.asarray(ids, dtype=np.int64),
+                    "n": len(ids),
+                }
+                complete = all(x is not None for x in tmin) and all(
+                    x is not None for x in tmax
+                )
+                if complete:
+                    a_tmin = np.asarray(tmin, dtype=object)
+                    a_tmax = np.asarray(tmax, dtype=object)
+                    rec["sorted"] = bool(
+                        np.all(a_tmin[1:] >= a_tmin[:-1])
+                        and np.all(a_tmax[1:] >= a_tmax[:-1])
+                    ) if len(ids) > 1 else True
+                    rec["tmin"], rec["tmax"] = a_tmin, a_tmax
+                else:
+                    rec["sorted"] = False
+                    rec["tmin"] = np.asarray(tmin, dtype=object)
+                    rec["tmax"] = np.asarray(tmax, dtype=object)
+                if all(x is not None for x in bmin) and all(
+                    x is not None for x in bmax
+                ):
+                    rec["bmin"] = np.asarray(bmin, dtype=np.int64)
+                    rec["bmax"] = np.asarray(bmax, dtype=np.int64)
+                frags.append(rec)
+            self._rg = frags
         return self._rg
 
     def _fetch(
@@ -115,25 +145,39 @@ class LocalIndexReader:
         filt = pc.field("term").isin(terms)
         if buckets is not None:
             filt = filt & pc.field("bucket").isin(buckets)
+            b_sorted = np.asarray(sorted(set(buckets)), dtype=np.int64)
         idx = self._rg_index()
-        by_frag: dict[int, tuple] = {}
+        by_frag: list[tuple] = []
         n_match = 0
-        for tmin, tmax, bmin, bmax, frag, rg_id in idx:
-            if tmin is not None and not any(
-                tmin <= t <= tmax for t in terms
-            ):
-                continue
-            if (
-                buckets is not None
-                and bmin is not None
-                and not any(bmin <= b <= bmax for b in buckets)
-            ):
-                continue
-            n_match += 1
-            key = id(frag)
-            if key not in by_frag:
-                by_frag[key] = (frag, [])
-            by_frag[key][1].append(rg_id)
+        n_total = 0
+        for rec in idx:
+            n = rec["n"]
+            n_total += n
+            sel = np.zeros(n, dtype=bool)
+            if rec["sorted"]:
+                tmin, tmax = rec["tmin"], rec["tmax"]
+                for t in terms:
+                    # contiguous run [a, b): first rg whose max ≥ t .. last
+                    # rg whose min ≤ t (both arrays non-decreasing)
+                    a = int(np.searchsorted(tmax, t, side="left"))
+                    b = int(np.searchsorted(tmin, t, side="right"))
+                    if b > a:
+                        sel[a:b] = True
+            else:
+                for i, (tmn, tmx) in enumerate(zip(rec["tmin"], rec["tmax"])):
+                    if tmn is None or any(tmn <= t <= tmx for t in terms):
+                        sel[i] = True
+            if buckets is not None and "bmin" in rec and sel.any():
+                # rg matches iff some requested bucket ∈ [bmin, bmax]
+                pos = np.searchsorted(b_sorted, rec["bmin"])
+                ok = (pos < b_sorted.size) & (
+                    b_sorted[np.minimum(pos, b_sorted.size - 1)] <= rec["bmax"]
+                )
+                sel &= ok
+            k = int(sel.sum())
+            if k:
+                n_match += k
+                by_frag.append((rec["frag"], rec["ids"][sel].tolist()))
         if not by_frag:
             return pa.table(
                 {
@@ -143,13 +187,11 @@ class LocalIndexReader:
             )
         # selectivity gate: when most row groups match anyway, the plain
         # multithreaded dataset scan beats per-query dataset assembly
-        if n_match > 0.25 * len(idx):
+        if n_match > 0.25 * n_total:
             return self.postings.to_table(columns=columns, filter=filt)
         # one subset fragment per file (matched row groups only),
         # scanned as a single dataset so reads stay multithreaded
-        subsets = [
-            frag.subset(row_group_ids=ids) for frag, ids in by_frag.values()
-        ]
+        subsets = [frag.subset(row_group_ids=ids) for frag, ids in by_frag]
         return ds.FileSystemDataset(
             subsets, self.postings.schema, ds.ParquetFileFormat()
         ).to_table(columns=columns, filter=filt)
@@ -255,15 +297,31 @@ class LocalIndexReader:
         pos = np.searchsorted(ids[order], doc_ids)
         return vals[order][pos]
 
-    def _cache_blocks(self, pairs: list[tuple[str, int]]) -> None:
-        """Decode + cache the given (term, bucket) posting blocks. A
-        (term, bucket) may map to SEVERAL physical block rows (chunked /
-        streaming / zero-shuffle segment builds split at partition
-        boundaries) — they are concatenated and docID-sorted here, so the
-        cache entry is the logical bucket."""
-        missing = [p for p in pairs if p not in self._block_cache]
+    def _get_blocks(
+        self, pairs: list[tuple[str, int]]
+    ) -> dict[tuple[str, int], tuple]:
+        """Decoded (term, bucket) posting blocks for EVERY requested pair,
+        cache-backed. A (term, bucket) may map to SEVERAL physical block
+        rows (chunked / streaming / zero-shuffle segment builds split at
+        partition boundaries) — they are concatenated and docID-sorted, so
+        an entry is the logical bucket.
+
+        Eviction pins the CURRENT request's keys: a query touching more
+        logical blocks than the cache holds must never evict blocks it
+        fetched earlier in the same call (that silently dropped postings
+        pre-round-3); oversized requests are served uncached instead. A
+        requested pair absent from both cache and storage raises KeyError
+        — stats said it exists, so silence would mean wrong results."""
+        out: dict[tuple[str, int], tuple] = {}
+        missing: list[tuple[str, int]] = []
+        for p in pairs:
+            e = self._block_cache.get(p)
+            if e is not None:
+                out[p] = e
+            else:
+                missing.append(p)
         if not missing:
-            return
+            return out
         tbl = self._blocks(
             sorted({t for t, _ in missing}), sorted({b for _, b in missing})
         )
@@ -286,7 +344,14 @@ class LocalIndexReader:
                     vb_decode(lvb).astype(np.float64),
                 )
             )
-        for key, parts in fresh.items():
+        request_keys = set(pairs)
+        for key in missing:
+            parts = fresh.get(key)
+            if parts is None:
+                raise KeyError(
+                    f"posting block {key!r} listed in stats but absent from "
+                    "storage — index corrupt or mutated under the reader"
+                )
             if len(parts) == 1:
                 entry = parts[0]
             else:
@@ -297,24 +362,29 @@ class LocalIndexReader:
                     np.concatenate([p[1] for p in parts])[order],
                     np.concatenate([p[2] for p in parts])[order],
                 )
+            out[key] = entry
             if len(self._block_cache) >= self._cache_cap:
-                self._block_cache.pop(next(iter(self._block_cache)))
+                evict = next(
+                    (k for k in self._block_cache if k not in request_keys), None
+                )
+                if evict is None:
+                    continue  # request bigger than the cache: serve uncached
+                self._block_cache.pop(evict)
             self._block_cache[key] = entry
+        return out
 
     def _decoded_terms(
         self, terms: list[str], term_buckets: dict[str, list[int]]
     ) -> list[tuple]:
         """[(term, doc_ids, tfs, dls)] concatenated over the given buckets
-        in bucket (= docID) order, from the block cache."""
-        self._cache_blocks(
+        in bucket (= docID) order."""
+        blocks = self._get_blocks(
             [(t, b) for t in terms for b in term_buckets.get(t, ())]
         )
         out = []
         for t in terms:
             parts = [
-                self._block_cache[(t, b)]
-                for b in sorted(term_buckets.get(t, ()))
-                if (t, b) in self._block_cache
+                blocks[(t, b)] for b in sorted(term_buckets.get(t, ()))
             ]
             if parts:
                 out.append(
@@ -510,40 +580,137 @@ class LocalIndexReader:
     def boolean_query(self, query: str) -> list[dict]:
         """Boolean/phrase queries on the serving tier: the SAME planner as
         the Spark path (query/boolean.BooleanPlanner — reference-exact
-        semantics), driven by a local backend whose plists come from a
-        pyarrow posting fetch. Returns [{'doc_id', 'url'}] doc_id-asc."""
-        from ..oracle.boolmodel import OracleBackend
+        semantics), driven by a numpy backend: docID merges are
+        np.isin/intersect1d set ops over sorted int64 arrays (a stopword
+        boolean on a 2M-doc shard never materializes per-row Python
+        objects — the pre-round-3 OracleBackend walk did); position-list
+        merges happen only inside phrase branches, and positions decode
+        lazily per term only when a phrase branch needs them. Returns
+        [{'doc_id', 'url'}] doc_id-asc — the reference's result shape."""
         from .boolean import BooleanPlanner, _RecordingBackend
 
         rec = _RecordingBackend()
         BooleanPlanner(rec).execute(query)
         terms = sorted(t for t in rec.terms if t)
-        index: dict[str, list] = {}
+        index: dict[str, _TermPostings] = {}
         if terms:
             t = self._fetch(["term", "docs_vb", "tfs_vb", "pos_vb"], terms)
+            parts: dict[str, list] = {}
             for term, dvb, tvb, pvb in zip(
                 t["term"].to_pylist(),
                 t["docs_vb"].to_pylist(),
                 t["tfs_vb"].to_pylist(),
                 t["pos_vb"].to_pylist(),
             ):
-                d = decode_sorted(dvb)
-                tf = vb_decode(tvb)
-                plists = decode_position_lists(pvb, tf)
-                index.setdefault(term, []).extend(
-                    (int(di), pi.tolist()) for di, pi in zip(d, plists)
+                parts.setdefault(term, []).append(
+                    (decode_sorted(dvb), vb_decode(tvb), pvb)
                 )
-        for term in index:
-            index[term].sort(key=lambda x: x[0])
-
-        class _Shim:
-            pass
-
-        shim = _Shim()
-        shim.index = index
-        plist = BooleanPlanner(OracleBackend(shim)).execute(query)
-        if plist is None:
+            index = {tm: _TermPostings(ps) for tm, ps in parts.items()}
+        plist = BooleanPlanner(_NumpyBooleanBackend(index)).execute(query)
+        if plist is None or plist[0].size == 0:
             return []
-        doc_ids = np.asarray(sorted(d for d, _ in plist), dtype=np.int64)
+        doc_ids = plist[0]  # merges keep docID-ascending order
         meta = self._doc_meta(doc_ids)
         return [{"doc_id": int(d), "url": meta[int(d)][0]} for d in doc_ids]
+
+
+class _TermPostings:
+    """One term's serving-tier postings: docID-sorted int64 array eagerly,
+    position lists decoded lazily (only phrase branches pay for them).
+    Multiple physical blocks (chunk/segment splits) concatenate; the doc
+    sort order is remembered so lazy positions align."""
+
+    __slots__ = ("docs", "_order", "_parts", "_pos")
+
+    def __init__(self, parts: list[tuple]) -> None:
+        if len(parts) == 1:
+            d = parts[0][0]
+            self._order = None
+        else:
+            d = np.concatenate([p[0] for p in parts])
+            self._order = np.argsort(d, kind="stable")
+            d = d[self._order]
+        self.docs = d.astype(np.int64, copy=False)
+        self._parts = parts
+        self._pos = None
+
+    def positions(self) -> list[np.ndarray]:
+        if self._pos is None:
+            plists: list[np.ndarray] = []
+            for d, tf, pvb in self._parts:
+                plists.extend(decode_position_lists(pvb, tf))
+            if self._order is not None:
+                plists = [plists[i] for i in self._order]
+            self._pos = plists
+        return self._pos
+
+
+class _NumpyBooleanBackend:
+    """Planner backend (J1-J4 merges) over numpy set ops. A plist is
+    ``(docs: sorted unique int64 array, pos: list[ndarray]|None aligned)``
+    — exactly the oracle backend's [(doc_id, positions|None)] shape,
+    columnarized. Semantics mirror oracle/boolmodel.OracleBackend (same
+    planner drives both; test_serve.py asserts result identity)."""
+
+    def __init__(self, index: dict[str, _TermPostings]) -> None:
+        self._idx = index
+
+    def lookup(self, term: str, with_positions: bool):
+        ent = self._idx.get(term)
+        if ent is None or ent.docs.size == 0:
+            # absent from the fetch == absent from the index (term filter
+            # returned nothing) — the planner's None semantics
+            return None if ent is None else (ent.docs, None)
+        return (ent.docs, ent.positions() if with_positions else None)
+
+    def and_merge(self, a, b):  # J1: keep a's positions
+        da, pa = a
+        mask = np.isin(da, b[0], assume_unique=True)
+        return (
+            da[mask],
+            [pa[i] for i in np.flatnonzero(mask)] if pa is not None else None,
+        )
+
+    def or_merge(self, a, b):  # J2: a's positions win on ties
+        da, pa = a
+        db, pb = b
+        new = ~np.isin(db, da, assume_unique=True)
+        docs = np.concatenate([da, db[new]])
+        order = np.argsort(docs, kind="stable")
+        pos = None
+        if pa is not None or pb is not None:
+            pos = list(pa) if pa is not None else [None] * da.size
+            if pb is not None:
+                pos += [pb[i] for i in np.flatnonzero(new)]
+            else:
+                pos += [None] * int(new.sum())
+            pos = [pos[i] for i in order]
+        return (docs[order], pos)
+
+    def andnot(self, a, b):  # J3
+        da, pa = a
+        mask = ~np.isin(da, b[0], assume_unique=True)
+        return (
+            da[mask],
+            [pa[i] for i in np.flatnonzero(mask)] if pa is not None else None,
+        )
+
+    def phrase_merge(self, a, b, k: int):  # J4: a's positions p with p+k in b
+        da, pa = a
+        db, pb = b
+        common, ia, ib = np.intersect1d(
+            da, db, assume_unique=True, return_indices=True
+        )
+        docs_out, pos_out = [], []
+        for d, i, j in zip(common, ia, ib):
+            ps = pa[i] if pa is not None else None
+            if ps is None or pb is None or pb[j] is None:
+                continue  # oracle: entries without positions can't extend
+            hits = ps[np.isin(ps + k, pb[j], assume_unique=True)]
+            if hits.size:
+                docs_out.append(d)
+                pos_out.append(hits)
+        return (np.asarray(docs_out, dtype=np.int64), pos_out)
+
+    def is_empty(self, p) -> bool:
+        return p[0].size == 0

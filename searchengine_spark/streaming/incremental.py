@@ -34,6 +34,7 @@ from ..index.build import (
     DEFAULT_BUCKET_DOCS,
     assign_dense_ids,
     build_postings_local,
+    ensure_layout,
 )
 from ..text.udfs import tokenize_doc
 
@@ -52,7 +53,9 @@ class StreamingIndexBuilder:
         self.spark = spark
         self.out = out_dir
         self.bucket_docs = bucket_docs
-        os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+        # refuse to resume into a pre-layout-2 directory (flat docs appends
+        # + int32 max_tf would mix with this code's output; ADVICE r2 #2)
+        ensure_layout(out_dir)
 
     def _manifest(self, name: str) -> str:
         return os.path.join(self.out, "_manifests", f"{name}.json")

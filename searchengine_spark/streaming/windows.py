@@ -26,12 +26,25 @@ def windowed_counts_stream(
     window: str = "1 hour",
     watermark: str = "2 hours",
     sink_table: str = "windowed_counts",
+    output_mode: str = "complete",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Drain events_dir (availableNow) through a watermarked tumbling
     window into an in-memory sink; returns the result DataFrame.
     Production swaps the trigger for continuous micro-batches and the
-    sink for an append table."""
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    sink for an append table.
+
+    ``output_mode="append"`` + ``max_files_per_trigger=1`` exposes the
+    watermark's LATE-DATA semantics: files stream one per micro-batch in
+    modification-time order, the watermark advances between batches
+    (max event time − delay), rows older than the current watermark are
+    DROPPED, and a window only emits once the watermark passes its end —
+    the exactly-once contract a 100-TB telemetry pipeline relies on
+    (tested in tests/test_extensions.py::test_streaming_watermark_drops_late_rows)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir)
     # watermarks require TIMESTAMP (with tz); session tz is pinned UTC so
     # the NTZ values map 1:1
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -50,7 +63,7 @@ def windowed_counts_stream(
         )
     )
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(sink_table)
         .option("checkpointLocation", checkpoint_dir)

@@ -58,6 +58,43 @@ def _final_capacity(n: int) -> int:
 # capacity. Treeified bins iterate in preserved `next` order, so the
 # list model (and the sort) stays exact.
 
+def hashmap_iteration_order_sim(keys: list, hash_fn) -> list:
+    """Reference BUCKET-LEVEL simulation of JDK8 ``new HashMap<>()``
+    insertion + resize + iteration — the model the closed form below was
+    proved against. Kept checked-in as the test oracle so the CLAUDE.md
+    equivalence gate (re-run on any change to this module) is reproducible
+    from the repo: ``tests/test_text_pipeline.py::test_hashmap_closed_form_equivalence``.
+
+    Semantics replayed: default capacity 16, load factor 0.75, resize
+    doubles when size exceeds threshold; resize splits each bucket into
+    lo/hi lists preserving relative order (HashMap.resize, JDK8);
+    iteration walks buckets in index order, entries in list order.
+    ``hash_fn`` is the key's Java ``hashCode()`` (int32); keys distinct.
+    """
+    cap, thr = 16, 12
+    table: list[list] = [[] for _ in range(cap)]
+    size = 0
+    for k in keys:
+        h = _spread(hash_fn(k) & 0xFFFFFFFF)
+        table[h & (cap - 1)].append((k, h))
+        size += 1
+        if size > thr:
+            cap <<= 1
+            thr = (cap * 3) >> 2
+            # lo/hi split: new bucket j's entries all come from old bucket
+            # j & (old_cap-1), so appending in old-bucket order preserves
+            # each entry pair's relative order — exactly JDK8's split
+            ntab: list[list] = [[] for _ in range(cap)]
+            for bucket in table:
+                for kk, hh in bucket:
+                    ntab[hh & (cap - 1)].append((kk, hh))
+            table = ntab
+    out = []
+    for bucket in table:
+        out.extend(kk for kk, _ in bucket)
+    return out
+
+
 _STR_HASH_MEMO: dict[str, int] = {}
 
 

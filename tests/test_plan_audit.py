@@ -1,0 +1,70 @@
+"""Plan-audit regression gate (VERDICT r2 #6).
+
+CLAUDE.md's plan-audit rule, made a failing test: every driver
+`queries()` entry must compile to a plan with NO row-at-a-time Python
+(BatchEvalPython), NO CartesianProduct, and top-k entries must use
+TakeOrderedAndProject (never a global sort). Plans are compiled lazily
+against the sf0.001 testdata — nothing executes, so the whole battery
+audits in seconds and runs in every CI pass.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _queries():
+    import __spark_entry__ as entry
+
+    return entry.queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {name: _plan(fn(spark, SF_DIR)) for name, fn in _queries().items()}
+
+
+def test_no_row_python_anywhere(plans):
+    """Python reaches the JVM only through Arrow (ArrowEvalPython /
+    MapInPandas); BatchEvalPython in any driver query is a regression."""
+    bad = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert not bad, f"row-at-a-time Python UDF in: {bad}"
+
+
+def test_no_cartesian_product(plans):
+    """Self-joins (jaccard, LSH banding) must join on keys or broadcast;
+    an unkeyed CartesianProduct is quadratic shuffle-free only by luck."""
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"CartesianProduct in: {bad}"
+
+
+def test_topk_uses_take_ordered(plans):
+    """Every *_topk query must compile to TakeOrderedAndProject — a
+    global Sort+Limit materializes the full order at scale."""
+    for name, p in plans.items():
+        if name.endswith("_topk"):
+            assert "TakeOrderedAndProject" in p, f"{name} lost its top-k plan"
+
+
+def test_scans_prune_columns(plans):
+    """Column pruning must reach the parquet scan: queries that never
+    touch `source`/`n_chars` on the documents table must not read them
+    (a scan reading all columns for a 2-column projection is wrong)."""
+    for name in ("token_counts", "doc_fingerprint", "dedup_exact"):
+        for line in plans[name].splitlines():
+            if "ReadSchema" in line:
+                assert "n_chars" not in line and "source" not in line, (
+                    f"{name} scans unneeded columns: {line.strip()}"
+                )

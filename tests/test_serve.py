@@ -89,6 +89,31 @@ def test_serve_pruned_equals_full(reader, q, scorer):
         assert stats["probed"] + stats["survivors"] + stats["pruned"] == stats["n_buckets"]
 
 
+def test_serve_boolean_numpy_backend_full_parity(reader, oracle_index):
+    """The numpy set-op backend must agree with the pure-Python oracle
+    backend on the full J1-J5 + parser-quirk query battery (same planner,
+    third backend — any divergence is a backend bug)."""
+    from searchengine_spark.oracle.boolmodel import boolean_query_oracle
+    from tests.test_boolean import QUERIES as BOOL_BATTERY
+
+    for q in BOOL_BATTERY:
+        got = [r["doc_id"] for r in reader.boolean_query(q)]
+        assert got == boolean_query_oracle(oracle_index, q), q
+
+
+def test_serve_tiny_cache_oversized_query_exact(built_index, oracle_index):
+    """A query touching more logical blocks than the cache can hold must
+    still return exact results (ADVICE r2 #1: same-call eviction used to
+    silently drop postings). cache_blocks=2 forces the oversized regime
+    for every multi-bucket term."""
+    tiny = LocalIndexReader(built_index, cache_blocks=2)
+    for q in ["the", "merge sort join hash scan filter group order"]:
+        got = [(r["doc_id"], r["score"]) for r in tiny.ranked_topk(q, k=20, scorer="bm25")]
+        want = ranked_topk_oracle(oracle_index, q, k=20, scorer="bm25")
+        assert_rank_identical(got, want, rel_tol=1e-9)
+    assert len(tiny._block_cache) <= 2
+
+
 def test_serve_prunes_on_clustered_corpus(spark, tmp_path):
     """On a topic-clustered corpus the serving tier must skip a substantial
     fraction of buckets (blobs never read) and stay exact — the numpy port
