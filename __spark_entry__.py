@@ -489,13 +489,9 @@ def _ivf_assign(e, cents):
     )
 
 
-def _ivf_candidates(spark, sf, nprobe):
-    """The IVF candidate set (cell-pruned scan) at an explicit nprobe,
-    with the query vector attached — shared by the oracle-checked top-k
-    entry and bench.py's recall/scan-fraction sweep."""
-    e = _emb(spark, sf).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
+def _ivf_fit(e):
+    """k-means coarse quantizer (Lloyd, _IVF_ITERS unrolled iterations,
+    integer-scaled deterministic means) → (final centroids, assignment)."""
     cents = e.where(F.col("vec_id") < _IVF_CELLS).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
     )
@@ -519,7 +515,17 @@ def _ivf_candidates(spark, sf, nprobe):
             )
             .select(F.col("cell").alias("cid"), "cv")
         )
-    assign = _ivf_assign(e, cents)
+    return cents, _ivf_assign(e, cents)
+
+
+def _ivf_candidates(spark, sf, nprobe):
+    """The IVF candidate set (cell-pruned scan) at an explicit nprobe,
+    with the query vector attached — shared by the oracle-checked top-k
+    entry and bench.py's recall/scan-fraction sweep."""
+    e = _emb(spark, sf).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents, assign = _ivf_fit(e)
     q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     cos_cq = _ivf_dot(F.col("cv"), F.col("qv")) / (
         _ivf_nrm(F.col("cv")) * _ivf_nrm(F.col("qv"))
@@ -584,6 +590,39 @@ def _q_ann_ivf_topk(spark, sf):
     becomes a map-side pandas kernel against broadcast centroids; the
     cell-pruned candidate scan shape is unchanged."""
     return _ann_ivf_topk_at(spark, sf, _IVF_NPROBE)
+
+
+def _q_embedding_neardup_pairs(spark, sf):
+    """Embedding-cosine near-dup pairs, sub-quadratically: vectors are
+    bucketed by their k-means cell (the same coarse quantizer as
+    ann_ivf_topk) and only SAME-CELL pairs are scored — an equi-join on
+    the cell key instead of the O(n²) cross join, the cluster-bucketed
+    shape near-dup detection takes at 10^9 vectors (with K sized ~n/10³
+    the per-cell work stays bounded; here K=8 for determinism at test
+    scale). Top-20 pairs by rounded cosine, id-tiebroken — ordering is
+    on the ROUNDED value so Spark and the DuckDB oracle rank
+    identically."""
+    e = _emb(spark, sf).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    _, assign = _ivf_fit(e)
+    assign = assign.localCheckpoint()  # one k-means, both join sides
+    a = assign.select(
+        F.col("cell"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = assign.select(
+        F.col("cell"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    cos = _ivf_dot(F.col("va"), F.col("vb")) / (
+        _ivf_nrm(F.col("va")) * _ivf_nrm(F.col("vb"))
+    )
+    return (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(20)
+    )
 
 
 def _q_token_counts(spark, sf):
@@ -798,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard_verified": _q_lsh_jaccard_verified,
         "cosine_topk": _q_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_neardup_pairs": _q_embedding_neardup_pairs,
         "token_counts": _q_token_counts,
         "lang_id_heuristic": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -814,16 +854,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # --------------------------------------------------------------------------
 
-def _ivf_oracle_sql() -> str:
-    """DuckDB mirror of _q_ann_ivf_topk: same Lloyd iterations (unrolled
-    CTEs), same integer-scaled centroid means, same tiebreaks."""
+def _ivf_cos(a, b):
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
 
-    def cos(a, b):
-        return (
-            f"list_dot_product({a}, {b}) / "
-            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-        )
 
+def _ivf_fit_ctes() -> list[str]:
+    """The shared DuckDB k-means CTE chain (mirrors _ivf_fit: same Lloyd
+    iterations, integer-scaled centroid means, tiebreaks), ending in
+    ``fa(vec_id, v, cell)`` — the final assignment both ANN oracles
+    build on."""
+    cos = _ivf_cos
     ctes = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < {_IVF_CELLS})",
@@ -859,6 +902,16 @@ def _ivf_oracle_sql() -> str:
                      ORDER BY {cos('e.v', f'{prev}.cv')} DESC, {prev}.cid ASC) AS rn
             FROM e, {prev}) WHERE rn = 1)"""
     )
+    ctes.append(f"_prev AS (SELECT * FROM {prev})")
+    return ctes
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB mirror of _q_ann_ivf_topk: shared k-means CTEs + the
+    nprobe-pruned query-side scan."""
+    cos = _ivf_cos
+    ctes = _ivf_fit_ctes()
+    prev = "_prev"
     ctes.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
     ctes.append(
         f"""qc AS (
@@ -876,6 +929,23 @@ def _ivf_oracle_sql() -> str:
         WHERE vec_id <> 0
         ORDER BY round({cos('v', 'qv')}, 6) DESC, vec_id ASC
         LIMIT 10"""
+    )
+
+
+def _neardup_oracle_sql() -> str:
+    """DuckDB mirror of _q_embedding_neardup_pairs: shared k-means CTEs,
+    same-cell self-join, rounded-cosine ordering."""
+    cos = _ivf_cos
+    ctes = _ivf_fit_ctes()
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({cos('a.v', 'b.v')}, 6) AS cos
+        FROM fa a JOIN fa b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        ORDER BY round({cos('a.v', 'b.v')}, 6) DESC, vec_a ASC, vec_b ASC
+        LIMIT 20"""
     )
 
 
@@ -1024,6 +1094,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
             ORDER BY doc_a, doc_b""",
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "embedding_neardup_pairs": _neardup_oracle_sql(),
         "token_counts": """
             SELECT doc_id,
                    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_ws_tokens,

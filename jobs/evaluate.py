@@ -17,6 +17,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# plain-python invocation (tests, probes) — spark-submit --py-files makes
+# this a no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

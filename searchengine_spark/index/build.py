@@ -127,19 +127,41 @@ def assign_dense_ids(
     analogue of the reference's file-visit docID, SimpleEngine.java:58-75,
     with url order as the documented deterministic walk order).
 
-    FAST PATH (sorted inputs — zero shuffle, ONE pre-write job): persist
-    the input on its OWN partitioning, compute per-partition
-    (count, min, max) of the key in a single tiny-result job, and if the
-    partition key-ranges are strictly non-overlapping assign offsets by
-    range order — the ids then need NO exchange at all (local sort +
-    offset arithmetic). Crawl dumps land partition-sorted by url/prefix,
-    and parquet/Iceberg file splits of sorted data inherit the property,
-    so at web scale this is the COMMON case: with it, the whole index
-    build is shuffle-free end to end. The check is on actual partition
-    contents, so it is safe for any source.
+    FAST PATH (sorted inputs — zero shuffle, ONE thin pre-write job):
+    compute per-partition (count, min, max) of the key in a single
+    tiny-result job, and if the partition key-ranges are strictly
+    non-overlapping assign offsets by range order — the ids then need NO
+    exchange at all (local sort + offset arithmetic). Crawl dumps land
+    partition-sorted by url/prefix, and parquet/Iceberg file splits of
+    sorted data inherit the property, so at web scale this is the COMMON
+    case: with it, the whole index build is shuffle-free end to end. The
+    check is on actual partition contents, so it is safe for any source.
 
-    FALLBACK (overlapping inputs): range-repartition by the key (the
-    sampling pass reads the persisted rows, not the raw source), count
+    Whether the stats pass needs a persist depends on the PLAN, not the
+    data: an exchange-free plan (file/Iceberg scan, range, local data —
+    narrow lineage all the way down) re-executes with identical
+    partitioning, so the stats job runs directly against the source with
+    the projection PRUNED TO THE KEY COLUMN — on columnar storage that
+    reads a thin slice of the bytes, and nothing is cached (caching a
+    10^12-row table to count it would be the bug; measured here, the
+    full-width persist materialization was ~7 s of NON-SCALING
+    memory-copy per build). Only when the plan contains an Exchange
+    (whose partitioning would be re-sampled per job — the round-2
+    dense-id hazard) is the input pinned with persist first.
+
+    INVARIANT for the no-persist path: scan-partitioning-affecting confs
+    (spark.sql.files.maxPartitionBytes / openCostInBytes, …) must not
+    change between this call and the materialization of the returned
+    DataFrame — a re-plan with different file bin-packing renumbers
+    partitions and the offsets go stale. IndexBuilder holds its confs
+    for the whole build and its docs write carries a density net
+    (min/max/sum of doc_id checked against the closed forms) that fails
+    the build loudly if the invariant is ever violated.
+
+    FALLBACK (overlapping inputs): range-repartition by the key, persist
+    to pin the sampled range boundaries (load-bearing: the count job and
+    the downstream write would otherwise sample boundaries
+    independently and ids go non-dense — verified by experiment), count
     rows per partition, same offset arithmetic — one exchange, never a
     global single-task window (a plain ``row_number() OVER (ORDER BY
     url)`` collapses to one task — wrong at 10^12 rows; and a
@@ -148,10 +170,22 @@ def assign_dense_ids(
 
     ``num_partitions`` may be an int or a callable(total_rows) → int,
     resolved only on the fallback path (the fast path keeps the input
-    partitioning); callers no longer pre-count the input for it."""
-    parts = df.persist(StorageLevel.MEMORY_AND_DISK)
+    partitioning); callers no longer pre-count the input for it.
+    ``_sg_persisted`` on the result is the pinned intermediate to
+    unpersist once ids are materialized downstream, or None."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # No-persist re-execution is only sound when every leaf's runtime
+    # partitioning is pinned by the plan itself: file/batch scans (given
+    # stable confs — see INVARIANT above), Range (splits are in the
+    # plan), existing RDDs (fixed partitions). LocalTableScan is NOT —
+    # its parallelism is chosen per-query (measured: the stats job saw N
+    # partitions, the write saw 1, ids went sparse), so local/Arrow
+    # inputs keep the persist pin. At web scale the input is always a
+    # file scan, so the common case stays zero-copy.
+    reusable = "Exchange" not in plan and "LocalTableScan" not in plan
+    base = df if reusable else df.persist(StorageLevel.MEMORY_AND_DISK)
     stats = (
-        parts.select(
+        base.select(
             F.spark_partition_id().alias("_pid"), F.col(order_col).alias("_k")
         )
         .groupBy("_pid")
@@ -175,8 +209,8 @@ def assign_dense_ids(
         for r in live:
             offsets[r["_pid"]] = acc
             acc += r["n"]
-        out = _ids_from_offsets(parts, order_col, id_col, offsets)
-        out._sg_persisted = parts
+        out = _ids_from_offsets(base, order_col, id_col, offsets)
+        out._sg_persisted = None if reusable else base
         out._sg_n_rows = total
         return out
     # overlapping input partitions: pay the one range exchange
@@ -185,13 +219,14 @@ def assign_dense_ids(
     n_parts = num_partitions or max(
         df.sparkSession.sparkContext.defaultParallelism, 8
     )
-    ranged = parts.repartitionByRange(n_parts, F.col(order_col)).persist(
+    ranged = base.repartitionByRange(n_parts, F.col(order_col)).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     counts = ranged.select(
         F.spark_partition_id().alias("_pid")
     ).groupBy("_pid").count().collect()
-    parts.unpersist()  # ranged is materialized; the input copy can go
+    if not reusable:
+        base.unpersist()  # ranged is materialized; the input copy can go
     by_pid = {r["_pid"]: r["count"] for r in counts}
     offsets = {}
     acc = start
@@ -199,8 +234,6 @@ def assign_dense_ids(
         offsets[pid] = acc
         acc += by_pid[pid]
     out = _ids_from_offsets(ranged, order_col, id_col, offsets)
-    # expose the persisted intermediate so callers can free it once the
-    # ids are materialized downstream
     out._sg_persisted = ranged
     out._sg_n_rows = total
     return out
@@ -621,13 +654,36 @@ class IndexBuilder:
                 docs_obs,
                 F.count(F.lit(1)).alias("n"),
                 F.sum("dl").alias("total_dl"),
+                # density net, riding the same write: the no-persist fast
+                # path in assign_dense_ids assumes the scan partitioning
+                # is identical between its stats job and this write — true
+                # unless a partitioning-affecting conf changed in between.
+                # If that ever breaks, ids go non-dense; fail HERE, not at
+                # query time.
+                # (CollectMetrics forbids distinct aggregates; min+max+sum
+                # against the closed forms catches any offset mix-up)
+                F.min("doc_id").alias("id_min"),
+                F.max("doc_id").alias("id_max"),
+                F.sum("doc_id").alias("id_sum"),
             )
             docs.write.mode("overwrite").parquet(docs_path)
-            # free the id-assignment cache before the shuffle-heavy
-            # postings stage
-            with_ids._sg_persisted.unpersist()
+            # free the id-assignment cache (fallback path only; the fast
+            # path pins nothing) before the postings stage
+            if with_ids._sg_persisted is not None:
+                with_ids._sg_persisted.unpersist()
             row = docs_obs.get
             n_docs = row["n"]
+            if n_docs and not (
+                row["id_min"] == 0
+                and row["id_max"] == n_docs - 1
+                and row["id_sum"] == n_docs * (n_docs - 1) // 2
+            ):
+                raise RuntimeError(
+                    f"doc ids not dense after write: min={row['id_min']} "
+                    f"max={row['id_max']} sum={row['id_sum']} n={n_docs} — "
+                    "scan partitioning changed between the id-stats job "
+                    "and the docs write (conf drift?)"
+                )
             self._commit(
                 "docs",
                 {

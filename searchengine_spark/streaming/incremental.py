@@ -102,7 +102,8 @@ class StreamingIndexBuilder:
         cdir = os.path.join(self.out, "postings", f"chunk=stream_{batch_id}")
         post.write.mode("overwrite").parquet(cdir)  # idempotent on replay
         docs.unpersist()
-        with_ids._sg_persisted.unpersist()
+        if with_ids._sg_persisted is not None:
+            with_ids._sg_persisted.unpersist()
         payload = {
             "stage": "stream_batch",
             "batch_id": batch_id,

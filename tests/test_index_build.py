@@ -87,22 +87,26 @@ def test_assign_dense_ids_fast_path_sorted_input(spark, tmp_path):
     old = spark.conf.get("spark.sql.files.openCostInBytes", None)
     spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 27))
     try:
+        # the conf stays set through materialization: the no-persist fast
+        # path requires scan-partitioning-affecting confs stable between
+        # the stats job and downstream jobs (the builder holds them for
+        # the whole build; the docs-write density net catches violations)
         pages = spark.read.parquet(d)
         out = assign_dense_ids(pages, order_col="url")
-    finally:
-        if old is not None:
-            spark.conf.set("spark.sql.files.openCostInBytes", old)
-        else:
-            spark.conf.unset("spark.sql.files.openCostInBytes")
-    try:
         rows = out.select("url", "doc_id").collect()
         assert sorted(r["doc_id"] for r in rows) == list(range(n))
         by_url = sorted(rows, key=lambda r: r["url"])
         assert [r["doc_id"] for r in by_url] == list(range(n))
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+        assert out._sg_persisted is None  # exchange-free input: no pin
     finally:
-        out._sg_persisted.unpersist()
+        if out._sg_persisted is not None:
+            out._sg_persisted.unpersist()
+        if old is not None:
+            spark.conf.set("spark.sql.files.openCostInBytes", old)
+        else:
+            spark.conf.unset("spark.sql.files.openCostInBytes")
     # multi-partition fast path: pre-ranged in-memory input keeps per-
     # partition offsets straight (plan assert skipped — the cached plan
     # prints its own staging exchange)
@@ -113,7 +117,8 @@ def test_assign_dense_ids_fast_path_sorted_input(spark, tmp_path):
         by_url = sorted(rows, key=lambda r: r["url"])
         assert [r["doc_id"] for r in by_url] == list(range(n))
     finally:
-        out8._sg_persisted.unpersist()
+        if out8._sg_persisted is not None:
+            out8._sg_persisted.unpersist()
 
 
 def test_assign_dense_ids_fallback_overlapping_input(spark):
@@ -136,7 +141,8 @@ def test_assign_dense_ids_fallback_overlapping_input(spark):
         by_url = sorted(rows, key=lambda r: r["url"])
         assert [r["doc_id"] for r in by_url] == list(range(n))
     finally:
-        out._sg_persisted.unpersist()
+        if out._sg_persisted is not None:
+            out._sg_persisted.unpersist()
 
 
 def test_layout_guard_refuses_unstamped_resume(tmp_path):
@@ -244,7 +250,8 @@ def test_split_master_json_reference_order(spark, tmp_path):
     out = assign_dense_ids(pages, order_col="url")
     rows = sorted(out.select("doc_id", "text").collect(), key=lambda r: r["doc_id"])
     assert [r["text"] for r in rows] == bodies
-    out._sg_persisted.unpersist()
+    if out._sg_persisted is not None:
+        out._sg_persisted.unpersist()
 
 
 def test_resume_after_sigkill_mid_build(spark, tmp_path):
