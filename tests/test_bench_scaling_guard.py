@@ -1,0 +1,89 @@
+"""Unit tests for bench.py's scaling-experiment interference guard.
+
+The guard exists because difference-in-differences cannot cancel a host
+event that hits ONLY one probe window (observed: an 8-core probe at
+2-core speed while the same pair's control was normal). These tests
+drive `_scaling_experiment` with monkeypatched probes/controls — no
+subprocesses, no Spark — and pin the discard/retry/reporting contract.
+"""
+
+from __future__ import annotations
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+class _Env:
+    """Monkeypatch staging + probes; restore on exit."""
+
+    def __init__(self, monkeypatch, probe_script, ctl_sec_lo=40.0, ctl_sec_hi=11.0):
+        self.calls = []
+        probe_iter = iter(probe_script)
+
+        def fake_stage(n_docs, files=64):
+            return (
+                "/nonexistent/pages",
+                "/nonexistent/warm",
+                "/nonexistent/enc",
+                ["text"] * 4,
+            )
+
+        def fake_probe(cpus, pages_dir, warm_dir, n_docs):
+            dps = next(probe_iter)
+            self.calls.append((cpus, dps))
+            return {"cpus": cpus, "n_docs": n_docs, "docs_per_sec": dps}
+
+        def fake_ctl(texts, procs, enc_dir=None, chunk=2000):
+            return ctl_sec_lo if procs == 2 else ctl_sec_hi
+
+        monkeypatch.setattr(bench, "_stage_scaling_corpus", fake_stage)
+        monkeypatch.setattr(bench, "_probe", fake_probe)
+        monkeypatch.setattr(bench, "_kernel_control_sec", fake_ctl)
+        monkeypatch.setattr(bench.shutil, "rmtree", lambda *a, **k: None)
+
+
+def test_clean_pairs_no_retry(monkeypatch):
+    # 3 pairs, hi = 3.2x lo everywhere -> efficiency 0.8, nothing discarded
+    _Env(monkeypatch, probe_script=[1000, 3200, 1000, 3200, 1000, 3200])
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3)
+    assert out["pairs"] == 3
+    assert out["efficiency"] == 0.8
+    assert out["interference_retries"] == 0
+    assert out["discarded_pair_efficiencies"] == []
+    assert len(out["efficiency_pairs"]) == 3
+    # control: (40/11)/4 = 0.909
+    assert abs(out["control_efficiency"] - 0.909) < 1e-3
+
+
+def test_interference_pair_discarded_and_rerun(monkeypatch):
+    # pair 2's hi probe collapses to lo speed (eff 0.25 < 0.5): it must be
+    # discarded, reported, re-run, and excluded from medians/bands
+    env = _Env(
+        monkeypatch,
+        probe_script=[1000, 3200, 1000, 1000, 1000, 3200, 1000, 3200],
+    )
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3)
+    assert out["interference_retries"] == 1
+    assert out["discarded_pair_efficiencies"] == [0.25]
+    assert out["efficiency"] == 0.8
+    assert out["efficiency_pairs"] == [0.8, 0.8, 0.8]
+    # the collapsed hi (1000 dps) never enters the hi band
+    assert out["band_8"] == [3200.0, 3200.0]
+    # 4 pairs of probe calls were made (3 kept + 1 discarded)
+    assert len(env.calls) == 8
+
+
+def test_retry_budget_bounds_and_keeps_bad_pair(monkeypatch):
+    # every pair is interfered: after the 2-retry budget is exhausted the
+    # remaining bad pairs are KEPT (reported honestly, never an infinite loop)
+    _Env(monkeypatch, probe_script=[1000, 1000] * 5)
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3)
+    assert out["interference_retries"] == 2
+    assert out["discarded_pair_efficiencies"] == [0.25, 0.25]
+    # 3 kept pairs, all at the (real, if implausible) 0.25
+    assert out["efficiency_pairs"] == [0.25, 0.25, 0.25]
+    assert out["efficiency"] == 0.25
