@@ -235,9 +235,10 @@ def _q_dedup_exact(spark, sf):
     )
 
 
-def _shingles(spark, sf):
-    """Distinct 3-token shingles per doc (SQL-mirrorable)."""
-    docs = _docs(spark, sf)
+def _shingles_of(docs):
+    """Distinct 3-token shingles per doc of an arbitrary (doc_id, text)
+    frame (SQL-mirrorable) — shared by the whole-corpus queries and the
+    filtered-survivor stage of `pipeline_clean_corpus`."""
     toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
@@ -250,6 +251,11 @@ def _shingles(spark, sf):
         .filter(F.col("shingle") != "")
         .distinct()
     )
+
+
+def _shingles(spark, sf):
+    """Distinct 3-token shingles per doc of the full corpus."""
+    return _shingles_of(_docs(spark, sf))
 
 
 _JACCARD_MAX_DF = 20  # shingles in more docs than this are non-discriminative
@@ -268,7 +274,12 @@ def _q_jaccard_pairs(spark, sf):
     localCheckpoint: the shingle set feeds FOUR plan branches (df cap,
     sizes, both join sides) — materialize once instead of recomputing
     the tokenize+explode per branch."""
-    sh = _shingles(spark, sf).localCheckpoint()
+    return _jaccard_pairs_from(_shingles(spark, sf).localCheckpoint())
+
+
+def _jaccard_pairs_from(sh):
+    """df-capped Jaccard ≥0.5 pairs from a MATERIALIZED shingle frame
+    (callers localCheckpoint — the frame feeds four plan branches)."""
     df_ok = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("sdf"))
@@ -298,6 +309,122 @@ def _q_jaccard_pairs(spark, sf):
         .orderBy("doc_a", "doc_b")
     )
     return out
+
+
+def _q_dedup_groups(spark, sf):
+    """Near-dup GROUPS — the stage after pair emission that a real dedup
+    needs: transitive closure of the df-capped Jaccard ≥0.5 pairs via
+    distributed large-star/small-star connected components
+    (`searchengine_spark/ml/dedup.py`), one canonical doc (component
+    minimum) per group. Every document appears; singletons are their own
+    canonical. The pair set is localCheckpointed first so the CC rounds
+    iterate over the (tiny) edge rows, not over the shingle self-join
+    plan. Oracle: DuckDB recursive-CTE transitive closure."""
+    from pyspark.sql.window import Window
+
+    from searchengine_spark.ml.dedup import connected_components
+
+    pairs = (
+        _q_jaccard_pairs(spark, sf).select("doc_a", "doc_b").localCheckpoint()
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        _docs(spark, sf)
+        .select("doc_id")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("canonical_id")
+        )
+        .withColumn(
+            "group_size",
+            F.count(F.lit(1)).over(Window.partitionBy("canonical_id")),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+        .orderBy("doc_id")
+    )
+
+
+_PIPE_MIN_TOKENS = 20
+_PIPE_MIN_DISTINCT_RATIO = 0.25
+
+
+def _q_pipeline_clean_corpus(spark, sf):
+    """Flagship end-to-end training-data cleaning pipeline — the actual
+    100-TB composition, staged the way a production crawl cleaner is:
+    cheap row-local gates FIRST (lang, quality) so the expensive dedup
+    stages only ever see survivors, then exact dedup (hash groupBy),
+    then near-dup grouping (df-capped Jaccard pairs → distributed
+    connected components, `ml/dedup.py`) with one canonical kept per
+    group. Emits a per-doc LINEAGE row — (doc_id, status,
+    canonical_id) with status ∈ {empty, lang, quality, exact_dup,
+    near_dup, kept} by first-failing-stage precedence — rather than
+    just the kept set, because at scale the drop audit IS the product
+    (filter-rate monitoring, reproducibility). Every stage is a
+    composition of the already-oracle-checked building blocks; the
+    oracle mirrors it as one CTE chain with a recursive transitive
+    closure."""
+    from searchengine_spark.ml.dedup import connected_components
+
+    docs = _docs(spark, sf)
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    met = docs.select(
+        "doc_id",
+        "text",
+        F.coalesce("lang", F.lit("")).alias("lang"),
+        F.size(toks).alias("n_tok"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("dr"),
+    )
+    drop0 = (
+        F.when(F.col("text").isNull(), F.lit("empty"))
+        .when(F.col("lang") != "en", F.lit("lang"))
+        .when(
+            (F.col("n_tok") < _PIPE_MIN_TOKENS)
+            | (F.col("dr") < _PIPE_MIN_DISTINCT_RATIO),
+            F.lit("quality"),
+        )
+    )
+    staged = met.select("doc_id", "text", drop0.alias("drop0")).localCheckpoint()
+    surv0 = staged.where(F.col("drop0").isNull()).select(
+        "doc_id", "text", F.md5(F.lower("text")).alias("h")
+    )
+    exact = surv0.groupBy("h").agg(F.min("doc_id").alias("ecanon"))
+    surv0 = surv0.join(exact, "h").select("doc_id", "text", "ecanon")
+    surv1 = surv0.where(F.col("doc_id") == F.col("ecanon")).select(
+        "doc_id", "text"
+    )
+    sh = _shingles_of(surv1).localCheckpoint()
+    pairs = _jaccard_pairs_from(sh).select("doc_a", "doc_b").localCheckpoint()
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    lab = (
+        surv0.select("doc_id", "ecanon")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "ecanon",
+            F.coalesce("component", "doc_id").alias("ncanon"),
+        )
+    )
+    status = (
+        F.when(F.col("drop0").isNotNull(), F.col("drop0"))
+        .when(F.col("doc_id") != F.col("ecanon"), F.lit("exact_dup"))
+        .when(F.col("doc_id") != F.col("ncanon"), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    canonical = (
+        F.when(F.col("drop0").isNotNull(), F.lit(None).cast("long"))
+        .when(F.col("doc_id") != F.col("ecanon"), F.col("ecanon"))
+        .otherwise(F.col("ncanon"))
+    )
+    return (
+        staged.select("doc_id", "drop0")
+        .join(lab, "doc_id", "left")
+        .select(
+            "doc_id",
+            status.alias("status"),
+            canonical.alias("canonical_id"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _MINHASH_K = 8
@@ -831,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_adjacent": _q_phrase,
         "dedup_exact": _q_dedup_exact,
         "jaccard_pairs": _q_jaccard_pairs,
+        "dedup_groups": _q_dedup_groups,
+        "pipeline_clean_corpus": _q_pipeline_clean_corpus,
         "minhash_signatures": _q_minhash_signatures,
         "simhash_fingerprints": _q_simhash,
         "lsh_band_pairs": _q_lsh_band_pairs,
@@ -1053,6 +1182,104 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
             WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
             ORDER BY doc_a, doc_b""",
+        "dedup_groups": f"""
+            WITH RECURSIVE
+                 sh_all AS (SELECT * FROM {shingles}),
+                 sh AS (SELECT * FROM sh_all WHERE shingle IN (
+                          SELECT shingle FROM sh_all GROUP BY shingle
+                          HAVING count(*) <= {_JACCARD_MAX_DF})),
+                 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+                 inter AS (
+                   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+                 pairs AS (
+                   SELECT doc_a, doc_b
+                   FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                              JOIN sizes sb ON doc_b = sb.doc_id
+                   WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+                 edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                           UNION SELECT doc_b, doc_a FROM pairs),
+                 reach(u, v) AS (
+                   SELECT u, v FROM edges
+                   UNION
+                   SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+                 canon AS (SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+                           FROM reach GROUP BY u),
+                 lab AS (SELECT d.doc_id,
+                                COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+                         FROM documents d LEFT JOIN canon c USING (doc_id))
+            SELECT doc_id, canonical_id,
+                   count(*) OVER (PARTITION BY canonical_id) AS group_size,
+                   doc_id = canonical_id AS is_canonical
+            FROM lab ORDER BY doc_id""",
+        "pipeline_clean_corpus": f"""
+            WITH RECURSIVE
+                 met AS (SELECT doc_id, text, coalesce(lang, '') AS lang,
+                                len(toks) AS n_tok,
+                                len(list_distinct(toks)) * 1.0 / len(toks) AS dr
+                         FROM (SELECT doc_id, text, lang,
+                                      list_filter(string_split(lower(text), ' '),
+                                                  x -> x <> '') AS toks
+                               FROM documents)),
+                 staged AS (SELECT doc_id, text,
+                                   CASE WHEN text IS NULL THEN 'empty'
+                                        WHEN lang <> 'en' THEN 'lang'
+                                        WHEN n_tok < {_PIPE_MIN_TOKENS}
+                                             OR dr < {_PIPE_MIN_DISTINCT_RATIO}
+                                             THEN 'quality'
+                                   END AS drop0
+                            FROM met),
+                 surv0 AS (SELECT doc_id, text,
+                                  min(doc_id) OVER (PARTITION BY md5(lower(text)))
+                                      AS ecanon
+                           FROM staged WHERE drop0 IS NULL),
+                 surv1 AS (SELECT doc_id, text FROM surv0 WHERE doc_id = ecanon),
+                 sh_all AS (SELECT DISTINCT doc_id,
+                                   concat_ws(' ', t1, t2, t3) AS shingle
+                            FROM (SELECT doc_id, toks[i] AS t1, toks[i+1] AS t2,
+                                         toks[i+2] AS t3
+                                  FROM (SELECT doc_id,
+                                               list_filter(string_split(lower(text), ' '),
+                                                           x -> x <> '') AS toks
+                                        FROM surv1),
+                                       LATERAL (SELECT unnest(generate_series(1,
+                                                greatest(len(toks) - 2, 0))) AS i))
+                            WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+                                  AND t3 IS NOT NULL),
+                 sh AS (SELECT * FROM sh_all WHERE shingle IN (
+                          SELECT shingle FROM sh_all GROUP BY shingle
+                          HAVING count(*) <= {_JACCARD_MAX_DF})),
+                 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+                 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                  count(*) AS it
+                           FROM sh a JOIN sh b USING (shingle)
+                           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+                 pairs AS (SELECT doc_a, doc_b
+                           FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                                      JOIN sizes sb ON doc_b = sb.doc_id
+                           WHERE it * 1.0 / (sa.n_sh + sb.n_sh - it) >= 0.5),
+                 edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                           UNION SELECT doc_b, doc_a FROM pairs),
+                 reach(u, v) AS (
+                   SELECT u, v FROM edges
+                   UNION
+                   SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+                 canon AS (SELECT u AS doc_id, least(u, min(v)) AS ncanon
+                           FROM reach GROUP BY u),
+                 lab AS (SELECT s.doc_id, s.ecanon,
+                                COALESCE(c.ncanon, s.doc_id) AS ncanon
+                         FROM surv0 s LEFT JOIN canon c USING (doc_id))
+            SELECT st.doc_id,
+                   CASE WHEN st.drop0 IS NOT NULL THEN st.drop0
+                        WHEN st.doc_id <> l.ecanon THEN 'exact_dup'
+                        WHEN st.doc_id <> l.ncanon THEN 'near_dup'
+                        ELSE 'kept' END AS status,
+                   CASE WHEN st.drop0 IS NOT NULL THEN NULL
+                        WHEN st.doc_id <> l.ecanon THEN l.ecanon
+                        ELSE l.ncanon END AS canonical_id
+            FROM staged st LEFT JOIN lab l USING (doc_id)
+            ORDER BY doc_id""",
         "minhash_signatures": f"""
             SELECT doc_id, {mh_cols} FROM {shingles} sh GROUP BY doc_id ORDER BY doc_id""",
         "simhash_fingerprints": f"""

@@ -1,0 +1,122 @@
+"""Distributed connected components for dedup grouping.
+
+The last stage of the near-dup pipeline: LSH/Jaccard emits PAIRS, but a
+training-data dedup needs GROUPS — transitively-closed components with
+one canonical (kept) document per group. A doc chain a~b, b~c must
+collapse to one group even when (a,c) was never emitted as a pair.
+
+Algorithm: alternating **large-star / small-star** (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", ACM SoCC 2014). Each round is two shuffles on the EDGE set
+(groupBy min + join back); the edge set only ever re-attaches endpoints
+to smaller labels, and the paper proves convergence in O(log² n) rounds
+(O(log n) observed) to a star forest where every node points directly
+at its component minimum. That is the 100-TB-safe shape: no driver-side
+state, no O(diameter) propagation over a long chain, memory per task
+bounded by a node's degree after hashing — unlike label propagation,
+whose round count is the graph diameter, pathological on chain-shaped
+near-dup families (shingled crawl mirrors produce exactly those).
+
+Reference parity note: the reference engine has no graph stage (its
+dedup surface ends at per-doc hashing); this module is part of the
+training-data-pipeline extension surface, driver-checked against a
+DuckDB recursive-CTE transitive closure (`__spark_entry__.py
+dedup_groups`) and property-tested against a union-find oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Orient every edge (hi, lo) with hi > lo, drop self-loops, distinct."""
+    u, v = F.col("u"), F.col("v")
+    return (
+        edges.where(u != v)
+        .select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node connects its STRICTLY LARGER neighbours to
+    the minimum of its closed neighbourhood. Emits (v, m(u)) for each
+    symmetric edge (u, v) with v > u, where m(u) = min(Γ(u) ∪ {u})."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: every node connects its SMALLER neighbours (and
+    itself) to the minimum of that set. Input edges are (u, v) with
+    u > v (large-star output is already oriented); emits (x, m(u)) for
+    x ∈ Γ⁻(u) ∪ {u}, x ≠ m(u), where m(u) = min(Γ⁻(u))."""
+    m = edges.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = (
+        edges.join(m, "u")
+        .select(F.col("v").alias("x"), "m")
+        .union(m.select(F.col("u").alias("x"), "m"))
+    )
+    return (
+        nbrs.where(F.col("x") != F.col("m"))
+        .select(F.col("x").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 50
+) -> DataFrame:
+    """Component label for every node of the undirected graph `pairs`.
+
+    Returns a DataFrame (node, component) where component is the MINIMUM
+    node id of the node's connected component; every node that appears
+    in any pair is present (components are their own label). Each round
+    localCheckpoints the edge set — iterative plans otherwise stack
+    lineage until analysis cost dominates. Convergence = edge-set
+    fixpoint (both stars are idempotent on a star forest); checked with
+    two anti-join probes per round, which at scale amortize by checking
+    every k rounds instead — here rounds are O(log n) and the check is
+    two tiny jobs.
+    """
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = _canonical(raw).localCheckpoint()
+    # nodes from the RAW input: a node appearing only in a self-loop pair
+    # still belongs in the output (as its own component)
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        changed = (
+            nxt.join(edges, ["u", "v"], "left_anti").limit(1).count()
+            + edges.join(nxt, ["u", "v"], "left_anti").limit(1).count()
+        )
+        edges = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+    # Fixpoint is a star forest: (node, root) per non-root, roots implicit.
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
