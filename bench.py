@@ -40,6 +40,15 @@ def _median(xs):
     return xs[len(xs) // 2]
 
 
+def _phase_medians(dicts):
+    """Per-key median over a list of phase_secs dicts (keys may vary)."""
+    keys = {k for d in dicts for k in d}
+    return {
+        k: round(_median([d[k] for d in dicts if k in d]), 3)
+        for k in sorted(keys)
+    }
+
+
 def _build_and_query(
     cpus: int,
     n_docs: int,
@@ -418,6 +427,7 @@ def _scaling_experiment(n_lo: int, n_docs: int, pairs: int) -> dict:
     pages_dir, warm_dir, enc_dir, texts = _stage_scaling_corpus(n_docs)
     try:
         pair_eff, ctl_eff, rel, lo_dps, hi_dps = [], [], [], [], []
+        phase_lo, phase_hi = [], []
         retries_left, retried, discarded = 2, 0, []
         done = 0
         while done < pairs:
@@ -457,6 +467,8 @@ def _scaling_experiment(n_lo: int, n_docs: int, pairs: int) -> dict:
             pair_eff.append(e)
             ctl_eff.append(c)
             rel.append(e / c)
+            phase_lo.append(lo.get("phase_secs", {}))
+            phase_hi.append(hi.get("phase_secs", {}))
             done += 1
         return {
             "method": (
@@ -482,6 +494,13 @@ def _scaling_experiment(n_lo: int, n_docs: int, pairs: int) -> dict:
             "efficiency_vs_control_pairs": [round(x, 3) for x in sorted(rel)],
             "interference_retries": retried,
             "discarded_pair_efficiencies": discarded,
+            # median seconds per build phase per side: separates the
+            # scalable phases (docs tokenize ~0.80 ceiling, postings
+            # encode ~0.74 kernel ceiling — BENCH/BASELINE.md §3) from
+            # the fixed tail (id_stats + lexicon), so a low-efficiency
+            # host phase is diagnosable from the JSON alone
+            f"phase_secs_{n_lo}": _phase_medians(phase_lo),
+            f"phase_secs_{n_hi}": _phase_medians(phase_hi),
         }
     finally:
         shutil.rmtree(pages_dir, ignore_errors=True)

@@ -31,6 +31,13 @@ def main() -> None:
     ap.add_argument("--tiered", action="store_true", help="also build the 3-tier parity variant")
     ap.add_argument("--compact", action="store_true", help="merge chunked posting blocks after the build")
     ap.add_argument("--synth", type=int, default=0, help="generate N synthetic pages instead of --pages")
+    ap.add_argument(
+        "--id-base",
+        type=int,
+        default=0,
+        help="first doc_id (shard-parallel builds: disjoint bucket-aligned "
+        "ranges per shard; serve across shards via query_topk --index a,b)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,7 +61,11 @@ def main() -> None:
         pages = read_table(spark, args.pages)
 
     stats = IndexBuilder(
-        spark, args.out, bucket_docs=args.bucket_docs, chunk_docs=args.chunk_docs
+        spark,
+        args.out,
+        bucket_docs=args.bucket_docs,
+        chunk_docs=args.chunk_docs,
+        id_base=args.id_base,
     ).build(pages)
     if args.tiered:
         from searchengine_spark.index.tiered import build_tiered, build_tiered_scored

@@ -19,7 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index", required=True)
+    ap.add_argument(
+        "--index",
+        required=True,
+        help="index dir; comma-separated shard dirs fan out via the "
+        "sharded serving root (serve mode only)",
+    )
     ap.add_argument("--query", required=True)
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--scorer", default="bm25", choices=["bm25", "tfidf_ref"])
@@ -31,11 +36,16 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.mode == "serve":  # Spark-free serving tier — no session at all
-        from searchengine_spark.query.serve import LocalIndexReader
+        paths = args.index.split(",")
+        if len(paths) > 1:
+            from searchengine_spark.query.sharded import ShardedIndexReader
 
-        rows = LocalIndexReader(args.index).ranked_topk(
-            args.query, k=args.k, scorer=args.scorer
-        )
+            reader = ShardedIndexReader(paths)
+        else:
+            from searchengine_spark.query.serve import LocalIndexReader
+
+            reader = LocalIndexReader(paths[0])
+        rows = reader.ranked_topk(args.query, k=args.k, scorer=args.scorer)
         print(json.dumps({"results": rows}))
         return
 

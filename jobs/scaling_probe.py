@@ -62,7 +62,9 @@ def main() -> None:
         out = tempfile.mkdtemp(prefix="scale_idx_", dir=scratch)
         try:
             t0 = time.time()
-            IndexBuilder(spark, out, bucket_docs=args.bucket_docs).build(pages)
+            stats = IndexBuilder(spark, out, bucket_docs=args.bucket_docs).build(
+                pages
+            )
             el = time.time() - t0
         finally:
             shutil.rmtree(out, ignore_errors=True)
@@ -73,6 +75,11 @@ def main() -> None:
                     "n_docs": args.n_docs,
                     "build_sec": round(el, 3),
                     "docs_per_sec": round(args.n_docs / el, 1),
+                    # per-phase seconds: lets the experiment report WHERE a
+                    # side loses time (scalable docs/postings phases vs the
+                    # fixed id-stats/lexicon tail) instead of one opaque
+                    # ratio — slow-host-phase runs are then self-diagnosing
+                    "phase_secs": stats.get("phase_secs", {}),
                 }
             )
         )

@@ -562,10 +562,21 @@ class IndexBuilder:
         chunk_docs: int | None = None,
         docs_per_task: int = 25_000,
         local_postings: bool = True,
+        id_base: int = 0,
     ) -> None:
         self.spark = spark
         self.out = out_dir
         self.bucket_docs = bucket_docs
+        # first doc_id of this build — shard-parallel builds give each
+        # shard a disjoint id range (query/sharded.py merges them with
+        # global stats). Bucket-aligned so (term,bucket) blocks never
+        # straddle a shard boundary and chunk/bucket alignment math holds.
+        if id_base % bucket_docs != 0:
+            raise ValueError(
+                f"id_base {id_base} must be a multiple of bucket_docs "
+                f"{bucket_docs} (shard boundaries must align with buckets)"
+            )
+        self.id_base = id_base
         self.chunk_docs = chunk_docs  # None → single chunk
         # True → zero-shuffle per-segment postings (build_postings_local);
         # False → the groupBy(term,bucket) exchange path (kept for A/B)
@@ -631,6 +642,7 @@ class IndexBuilder:
             with_ids = assign_dense_ids(
                 pages.select("url", "warc_ts", "lang", "text"),
                 order_col="url",
+                start=self.id_base,
                 num_partitions=self._task_count,
             )
             phases["id_stats"] = time.time() - pt
@@ -673,10 +685,11 @@ class IndexBuilder:
                 with_ids._sg_persisted.unpersist()
             row = docs_obs.get
             n_docs = row["n"]
+            b = self.id_base
             if n_docs and not (
-                row["id_min"] == 0
-                and row["id_max"] == n_docs - 1
-                and row["id_sum"] == n_docs * (n_docs - 1) // 2
+                row["id_min"] == b
+                and row["id_max"] == b + n_docs - 1
+                and row["id_sum"] == n_docs * b + n_docs * (n_docs - 1) // 2
             ):
                 raise RuntimeError(
                     f"doc ids not dense after write: min={row['id_min']} "
@@ -693,12 +706,19 @@ class IndexBuilder:
                     "elapsed_sec": time.time() - dt0,
                     "docs_per_sec": n_docs / max(time.time() - dt0, 1e-9),
                     "bucket_docs": self.bucket_docs,
+                    "id_base": self.id_base,
                     "order": "url",
                 },
             )
         docs_full = self.spark.read.parquet(docs_path)
         docs_man = json.load(open(self._manifest_path("docs")))
         n_docs = docs_man["rows"]
+        if docs_man.get("id_base", 0) != self.id_base:
+            raise RuntimeError(
+                f"resume id_base mismatch: docs committed with base "
+                f"{docs_man.get('id_base', 0)}, builder configured with "
+                f"{self.id_base}"
+            )
 
         chunk = self.chunk_docs or max(n_docs, 1)
         # chunk boundary must align with bucket boundary so every
@@ -721,7 +741,8 @@ class IndexBuilder:
                 stats.append(json.load(open(self._manifest_path(name))))
                 continue
             ct0 = time.time()
-            lo, hi = c * chunk, min((c + 1) * chunk, n_docs)
+            lo = self.id_base + c * chunk
+            hi = self.id_base + min((c + 1) * chunk, n_docs)
             part = docs_full.filter(
                 (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
             ).select("doc_id", "dl", "ld", "terms")
@@ -808,6 +829,7 @@ class IndexBuilder:
                     "total_dl": total_dl,
                     "avgdl": total_dl / max(n_docs, 1),
                     "bucket_docs": self.bucket_docs,
+                    "id_base": self.id_base,
                 },
             )
         total = time.time() - t0

@@ -398,11 +398,17 @@ class LocalIndexReader:
         return out
 
     def _score_decoded(
-        self, decoded: list[tuple], wqt: dict[str, float], scorer: str
+        self,
+        decoded: list[tuple],
+        wqt: dict[str, float],
+        scorer: str,
+        avgdl: float | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """(uniq_doc_ids, scores) for the decoded per-term posting arrays.
         Scores are EXACT — the same term-major accumulation order as the
-        unpruned path, so pruned and full evaluation are bit-identical."""
+        unpruned path, so pruned and full evaluation are bit-identical.
+        ``avgdl`` overrides the shard-local value (sharded serving passes
+        the GLOBAL average document length)."""
         docs_cat = np.concatenate([d for _, d, _, _ in decoded])
         uniq, inv = np.unique(docs_cat, return_inverse=True)
         # one buffered bincount beats per-term np.add.at (unbuffered
@@ -414,7 +420,8 @@ class LocalIndexReader:
             acc = np.bincount(inv, weights=partials, minlength=uniq.size)
             scores = acc / self._doc_norms("ld", uniq)
         else:  # bm25: dl decoded alongside the posting — no docs scan at all
-            avgdl = float(self.meta["avgdl"])
+            if avgdl is None:
+                avgdl = float(self.meta["avgdl"])
             partials = np.concatenate(
                 [
                     wqt[term]
@@ -436,6 +443,7 @@ class LocalIndexReader:
         prune: bool = True,
         probe: int = 4,
         stats: dict | None = None,
+        ext_stats: tuple | None = None,
     ) -> list[dict]:
         """Block-max pruned top-k (exact; identical to full evaluation).
 
@@ -444,15 +452,28 @@ class LocalIndexReader:
         in the bucket, so buckets with UB < θ (k-th best score from the
         ``probe`` most-promising buckets) never need their blobs read or
         decoded. Replaces the reference's UNSAFE 3-tier early termination
-        (TieredRankedQueryParser.java:143-152) with exact pruning."""
+        (TieredRankedQueryParser.java:143-152) with exact pruning.
+
+        ``ext_stats`` = (n_docs, avgdl, {term: df}) overrides the
+        shard-local corpus statistics — sharded serving passes the GLOBAL
+        values so a document's score is independent of the shard layout
+        (query/sharded.py); terms the shard lacks simply contribute no
+        blocks."""
         terms = expand_ranked_query(query)
         if not terms:
             return []
         mult = Counter(terms)
-        dfs = self.term_stats(sorted(mult))
+        if ext_stats is None:
+            dfs = self.term_stats(sorted(mult))
+            n = float(self.meta["n_docs"])
+            avgdl_v = float(self.meta["avgdl"])
+        else:
+            g_n, g_avgdl, g_dfs = ext_stats
+            n = float(g_n)
+            avgdl_v = float(g_avgdl)
+            dfs = {t: g_dfs[t] for t in mult if g_dfs.get(t)}
         if not dfs:
             return []
-        n = float(self.meta["n_docs"])
         wqt = {}
         for t, df in dfs.items():
             df = float(df)
@@ -492,8 +513,7 @@ class LocalIndexReader:
             np.minimum.at(ld_min, binv, min_ld)
             ub = acc / ld_min
         else:
-            avgdl = float(self.meta["avgdl"])
-            norm = BM25_K1 * (1.0 - BM25_B + BM25_B * min_dl / avgdl)
+            norm = BM25_K1 * (1.0 - BM25_B + BM25_B * min_dl / avgdl_v)
             contrib = wqt_row * max_tf * (BM25_K1 + 1.0) / (max_tf + norm)
             ub = np.bincount(binv, weights=contrib, minlength=ub_bucket.size)
 
@@ -502,7 +522,7 @@ class LocalIndexReader:
             decoded = self._decoded_terms(terms_sorted, tb)
             if not decoded:
                 return []
-            uniq, scores = self._score_decoded(decoded, wqt, scorer)
+            uniq, scores = self._score_decoded(decoded, wqt, scorer, avgdl_v)
             if stats is not None:
                 stats.update(
                     n_buckets=int(ub_bucket.size), probed=int(ub_bucket.size),
@@ -518,7 +538,7 @@ class LocalIndexReader:
         }
         decoded = self._decoded_terms(terms_sorted, tb_probe)
         uniq_p, scores_p = (
-            self._score_decoded(decoded, wqt, scorer)
+            self._score_decoded(decoded, wqt, scorer, avgdl_v)
             if decoded
             else (np.empty(0, np.int64), np.empty(0))
         )
@@ -550,7 +570,9 @@ class LocalIndexReader:
             }
             decoded_s = self._decoded_terms(terms_sorted, tb_surv)
             if decoded_s:
-                uniq_s, scores_s = self._score_decoded(decoded_s, wqt, scorer)
+                uniq_s, scores_s = self._score_decoded(
+                    decoded_s, wqt, scorer, avgdl_v
+                )
                 # buckets partition docID space → the two doc sets are
                 # disjoint; concatenation is a clean union
                 uniq_p = np.concatenate([uniq_p, uniq_s])

@@ -1,0 +1,118 @@
+"""Sharded serving: fan-out over doc-range shards with GLOBAL statistics.
+
+At web scale one `LocalIndexReader` is one serving shard over a doc_id
+range; shards are built independently (different executors, days, or
+clusters) with ``IndexBuilder(id_base=...)`` giving each a disjoint,
+bucket-aligned id range. The part that is easy to get wrong — and that
+this module exists to get right — is STATISTICS: BM25's term weight
+depends on (N, df) and its length norm on avgdl, so scoring each shard
+with its own local stats would make a document's score depend on the
+shard layout (and drift as shards rebalance). The sharded reader
+therefore:
+
+  * aggregates global N = Σ n_i and avgdl = Σ total_dl_i / N once at
+    open (exact — NOT an average of per-shard averages, which weights
+    small shards wrongly),
+  * per query, sums df over the shard RAM lexicons,
+  * passes (N, avgdl, df) into each shard's evaluation
+    (``LocalIndexReader.ranked_topk(ext_stats=...)``), where the shard
+    runs its normal exact block-max-pruned top-k; terms a shard lacks
+    contribute no blocks there,
+  * merges per-shard top-k lists by (score desc, doc_id asc).
+
+Because every document lives in exactly one shard and each shard's
+pruned evaluation is exact, the union of per-shard top-k lists contains
+the global top-k, and per-doc scores are BIT-IDENTICAL to a single
+unsharded index over the same corpus (asserted float-exact in
+tests/test_sharded_serve.py). Boolean/phrase queries are doc-local —
+membership depends only on the terms a document itself contains — so
+the sharded result is the doc_id-sorted concatenation of shard results.
+
+Shard fan-out runs on a thread pool: each shard touches its own pyarrow
+datasets and numpy decode (GIL-releasing I/O + kernels), which is the
+same overlap a real serving root gets from issuing shard RPCs in
+parallel. This is the reference's single-process query loop
+(Milestone2 SearchEngine.java main loop) re-expressed as the root/leaf
+architecture a 10^12-doc corpus forces.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .serve import LocalIndexReader
+
+
+class ShardedIndexReader:
+    """Serving root over N doc-range shards (each a LocalIndexReader)."""
+
+    def __init__(
+        self,
+        paths: list[str],
+        cache_blocks: int = 65536,
+        max_workers: int | None = None,
+    ) -> None:
+        if not paths:
+            raise ValueError("ShardedIndexReader needs at least one shard")
+        self.shards = [LocalIndexReader(p, cache_blocks=cache_blocks) for p in paths]
+        self.n_docs = sum(int(s.meta["n_docs"]) for s in self.shards)
+        total_dl = sum(int(s.meta["total_dl"]) for s in self.shards)
+        self.avgdl = total_dl / max(self.n_docs, 1)
+        self._pool = ThreadPoolExecutor(
+            max_workers=max_workers or min(len(self.shards), 16)
+        )
+
+    # -- global stats -------------------------------------------------------
+    def term_stats(self, terms: list[str]) -> dict[str, int]:
+        """term → GLOBAL df (sum over shard lexicons; absent terms omitted)."""
+        out: dict[str, int] = {}
+        for s in self.shards:
+            for t, df in s.term_stats(terms).items():
+                out[t] = out.get(t, 0) + int(df)
+        return out
+
+    # -- queries ------------------------------------------------------------
+    def ranked_topk(
+        self,
+        query: str,
+        k: int = 20,
+        scorer: str = "bm25",
+        prune: bool = True,
+        probe: int = 4,
+    ) -> list[dict]:
+        from .exec import expand_ranked_query
+
+        terms = expand_ranked_query(query)
+        if not terms:
+            return []
+        dfs = self.term_stats(sorted(set(terms)))
+        if not dfs:
+            return []
+        ext = (self.n_docs, self.avgdl, dfs)
+        futs = [
+            self._pool.submit(
+                s.ranked_topk,
+                query,
+                k=k,
+                scorer=scorer,
+                prune=prune,
+                probe=probe,
+                ext_stats=ext,
+            )
+            for s in self.shards
+        ]
+        rows = [r for f in futs for r in f.result()]
+        if not rows:
+            return []
+        scores = np.asarray([r["score"] for r in rows])
+        ids = np.asarray([r["doc_id"] for r in rows])
+        top = np.lexsort((ids, -scores))[: min(k, len(rows))]
+        return [rows[i] for i in top]
+
+    def boolean_query(self, query: str) -> list[dict]:
+        futs = [self._pool.submit(s.boolean_query, query) for s in self.shards]
+        rows = [r for f in futs for r in f.result()]
+        rows.sort(key=lambda r: r["doc_id"])
+        return rows

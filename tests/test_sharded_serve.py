@@ -1,0 +1,118 @@
+"""Sharded serving must be indistinguishable from a single index.
+
+Two (and three) doc-range shards are built independently with
+``IndexBuilder(id_base=...)`` over url-ordered slices of the SAME
+300-page corpus as the session ``built_index``, so shard doc_ids line
+up with the unsharded index's dense ids. The sharded reader
+(query/sharded.py) must then return bit-identical scores and identical
+doc lists for the full ranked + boolean battery — this is the proof
+that global-statistics injection (N, avgdl, summed df via ext_stats)
+removes every shard-layout dependence from scoring.
+"""
+
+import pytest
+
+from searchengine_spark.query.serve import LocalIndexReader
+from searchengine_spark.query.sharded import ShardedIndexReader
+
+QUERIES = [
+    "the",
+    "fast data",
+    "spark stream window",
+    "state-of",
+    "the the",
+    "zzzzabsent",
+    "merge sort join hash scan filter group order",
+]
+
+BOOL_QUERIES = [
+    "spark merge",
+    "spark + merge + vector",
+    "spark -slow",
+    '"state of"',
+    '"fast key" table',
+    "snake_case spark",
+]
+
+# url-ordered split points; multiples of bucket_docs=64 as id_base requires
+SPLITS_2 = [0, 192, 300]
+SPLITS_3 = [0, 64, 192, 300]
+
+
+def _build_shards(spark, pdf, tmp_path_factory, splits, bucket_docs=64):
+    from searchengine_spark.index.build import IndexBuilder
+
+    pdf = pdf.sort_values("url").reset_index(drop=True)
+    paths = []
+    for lo, hi in zip(splits, splits[1:]):
+        out = str(tmp_path_factory.mktemp(f"shard_{lo}"))
+        pages = spark.createDataFrame(pdf.iloc[lo:hi])
+        b = IndexBuilder(spark, out, bucket_docs=bucket_docs, id_base=lo)
+        stats = b.build(pages)
+        assert stats["n_docs"] == hi - lo
+        paths.append(out)
+    return paths
+
+
+@pytest.fixture(scope="module")
+def single(built_index):
+    return LocalIndexReader(built_index)
+
+
+@pytest.fixture(scope="module")
+def sharded2(spark, small_corpus_pdf, tmp_path_factory):
+    return ShardedIndexReader(
+        _build_shards(spark, small_corpus_pdf, tmp_path_factory, SPLITS_2)
+    )
+
+
+@pytest.fixture(scope="module")
+def sharded3(spark, small_corpus_pdf, tmp_path_factory):
+    return ShardedIndexReader(
+        _build_shards(spark, small_corpus_pdf, tmp_path_factory, SPLITS_3)
+    )
+
+
+def test_global_stats_aggregation(single, sharded2):
+    assert sharded2.n_docs == int(single.meta["n_docs"])
+    assert sharded2.avgdl == float(single.meta["avgdl"])
+    terms = ["the", "spark", "data", "zzzzabsent"]
+    assert sharded2.term_stats(terms) == single.term_stats(terms)
+
+
+@pytest.mark.parametrize("scorer", ["tfidf_ref", "bm25"])
+@pytest.mark.parametrize("q", QUERIES)
+def test_sharded_ranked_bit_identical(single, sharded2, q, scorer):
+    want = single.ranked_topk(q, k=20, scorer=scorer)
+    got = sharded2.ranked_topk(q, k=20, scorer=scorer)
+    assert [(r["doc_id"], r["score"], r["url"]) for r in got] == [
+        (r["doc_id"], r["score"], r["url"]) for r in want
+    ], q
+
+
+@pytest.mark.parametrize("q", QUERIES[:4])
+def test_three_uneven_shards(single, sharded3, q):
+    want = single.ranked_topk(q, k=20, scorer="bm25")
+    got = sharded3.ranked_topk(q, k=20, scorer="bm25")
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ], q
+
+
+@pytest.mark.parametrize("q", BOOL_QUERIES)
+def test_sharded_boolean(single, sharded2, q):
+    got = [r["doc_id"] for r in sharded2.boolean_query(q)]
+    want = [r["doc_id"] for r in single.boolean_query(q)]
+    assert got == want, q
+
+
+def test_id_base_must_be_bucket_aligned(spark, tmp_path_factory):
+    from searchengine_spark.index.build import IndexBuilder
+
+    with pytest.raises(ValueError, match="multiple of bucket_docs"):
+        IndexBuilder(
+            spark,
+            str(tmp_path_factory.mktemp("bad")),
+            bucket_docs=64,
+            id_base=100,
+        )
