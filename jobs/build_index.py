@@ -38,6 +38,13 @@ def main() -> None:
         help="first doc_id (shard-parallel builds: disjoint bucket-aligned "
         "ranges per shard; serve across shards via query_topk --index a,b)",
     )
+    ap.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        help="build N url-range shards under --out/shard=k (sampled "
+        "boundaries, auto bucket-aligned id bases) instead of one index",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,6 +66,20 @@ def main() -> None:
         if not args.pages:
             raise SystemExit("--pages or --synth required")
         pages = read_table(spark, args.pages)
+
+    if args.shards > 1:
+        from searchengine_spark.index.sharding import build_sharded
+
+        res = build_sharded(
+            spark,
+            pages,
+            args.out,
+            n_shards=args.shards,
+            bucket_docs=args.bucket_docs,
+            chunk_docs=args.chunk_docs,
+        )
+        print(json.dumps(res, default=str))
+        return
 
     stats = IndexBuilder(
         spark,

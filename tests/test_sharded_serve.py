@@ -106,6 +106,49 @@ def test_sharded_boolean(single, sharded2, q):
     assert got == want, q
 
 
+@pytest.fixture(scope="module")
+def orchestrated(spark, small_corpus_pdf, tmp_path_factory):
+    """build_sharded: boundaries + bases computed BY the orchestrator
+    (sampled url quantiles, bucket-aligned prefix-sum bases with gaps),
+    not hand-picked splits."""
+    from searchengine_spark.index.sharding import build_sharded
+
+    out_root = str(tmp_path_factory.mktemp("sharded_auto"))
+    pages = spark.createDataFrame(small_corpus_pdf)
+    res = build_sharded(spark, pages, out_root, n_shards=3, bucket_docs=64)
+    return res
+
+
+def test_build_sharded_layout(orchestrated):
+    res = orchestrated
+    assert sum(res["counts"]) == 300
+    assert all(b % 64 == 0 for b in res["bases"])
+    # disjoint, increasing id ranges (gaps allowed by design)
+    for b, c, nb in zip(res["bases"], res["counts"], res["bases"][1:]):
+        assert b + c <= nb
+
+
+@pytest.mark.parametrize("scorer", ["tfidf_ref", "bm25"])
+@pytest.mark.parametrize("q", QUERIES[:5])
+def test_build_sharded_scores_layout_independent(single, orchestrated, q, scorer):
+    """Shard doc_ids here DIFFER from the single index (quantile ranges,
+    base gaps) — yet (url, score) lists must match exactly, proving the
+    global-stats injection makes scores independent of the id/shard
+    layout entirely."""
+    sharded = ShardedIndexReader(orchestrated["shards"])
+    want = [(r["url"], r["score"]) for r in single.ranked_topk(q, k=20, scorer=scorer)]
+    got = [(r["url"], r["score"]) for r in sharded.ranked_topk(q, k=20, scorer=scorer)]
+    assert got == want, q
+
+
+def test_build_sharded_boolean_same_urls(single, orchestrated):
+    sharded = ShardedIndexReader(orchestrated["shards"])
+    for q in BOOL_QUERIES[:3]:
+        want = sorted(r["url"] for r in single.boolean_query(q))
+        got = sorted(r["url"] for r in sharded.boolean_query(q))
+        assert got == want, q
+
+
 def test_id_base_must_be_bucket_aligned(spark, tmp_path_factory):
     from searchengine_spark.index.build import IndexBuilder
 
