@@ -42,7 +42,30 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
+from .exec import BM25_B, BM25_K1
 from .serve import LocalIndexReader
+
+
+def _shard_ub(
+    reader: LocalIndexReader, wqt: dict[str, float], scorer: str, avgdl: float
+) -> float:
+    """Upper bound on any single document's score inside one shard:
+    Σ_t max over the shard's (term,bucket) block stats of that term's
+    best per-doc contribution — the same max_tf/min_dl/min_ld block-max
+    stats the shard's own bucket pruning uses (RAM-cached after first
+    touch, so this costs a few numpy maxes per query)."""
+    by_term = reader._block_stats(sorted(wqt))
+    total = 0.0
+    for t, (bkt, max_tf, min_dl, min_ld) in by_term.items():
+        if not bkt.size:
+            continue
+        if scorer == "tfidf_ref":
+            contrib = wqt[t] * (1.0 + np.log(max_tf)) / min_ld
+        else:
+            norm = BM25_K1 * (1.0 - BM25_B + BM25_B * min_dl / avgdl)
+            contrib = wqt[t] * max_tf * (BM25_K1 + 1.0) / (max_tf + norm)
+        total += float(contrib.max())
+    return total
 
 
 class ShardedIndexReader:
@@ -60,9 +83,8 @@ class ShardedIndexReader:
         self.n_docs = sum(int(s.meta["n_docs"]) for s in self.shards)
         total_dl = sum(int(s.meta["total_dl"]) for s in self.shards)
         self.avgdl = total_dl / max(self.n_docs, 1)
-        self._pool = ThreadPoolExecutor(
-            max_workers=max_workers or min(len(self.shards), 16)
-        )
+        self._wave = max_workers or min(len(self.shards), 16)
+        self._pool = ThreadPoolExecutor(max_workers=self._wave)
 
     # -- global stats -------------------------------------------------------
     def term_stats(self, terms: list[str]) -> dict[str, int]:
@@ -81,29 +103,91 @@ class ShardedIndexReader:
         scorer: str = "bm25",
         prune: bool = True,
         probe: int = 4,
+        shard_prune: bool = True,
+        stats: dict | None = None,
     ) -> list[dict]:
+        """Exact global top-k with SHARD-LEVEL pruning on top of each
+        shard's block-max pruning: shards are evaluated in waves (pool
+        width) in descending shard-UB order, where a shard's UB sums
+        each term's best possible per-doc contribution over that shard's
+        block-max stats — a true upper bound on any of its scores. After
+        each wave θ = current k-th best; remaining shards with UB < θ
+        are skipped (strict <: a UB == θ shard can still tie and win the
+        doc_id-asc tiebreak). At 1000 shards a selective query touches
+        the few shards that can matter — the distributed analogue of
+        the bucket-level pruning inside each shard. Exactness is
+        asserted shard_prune=True ≡ False ≡ single index in tests."""
+        import math as _math
+
+        from collections import Counter
+
         from .exec import expand_ranked_query
 
         terms = expand_ranked_query(query)
         if not terms:
             return []
-        dfs = self.term_stats(sorted(set(terms)))
+        mult = Counter(terms)
+        dfs = self.term_stats(sorted(mult))
         if not dfs:
             return []
         ext = (self.n_docs, self.avgdl, dfs)
-        futs = [
-            self._pool.submit(
-                s.ranked_topk,
-                query,
-                k=k,
-                scorer=scorer,
-                prune=prune,
-                probe=probe,
-                ext_stats=ext,
+        n = float(self.n_docs)
+        wqt = {}
+        for t, df in dfs.items():
+            dff = float(df)
+            if scorer == "tfidf_ref":
+                wqt[t] = _math.log(1.0 + n / dff) * mult[t]
+            else:
+                wqt[t] = (
+                    _math.log((n - dff + 0.5) / (dff + 0.5) + 1.0) * mult[t]
+                )
+
+        order = list(range(len(self.shards)))
+        ubs = None
+        if shard_prune:
+            ub_futs = [
+                self._pool.submit(_shard_ub, s, wqt, scorer, self.avgdl)
+                for s in self.shards
+            ]
+            ubs = [f.result() for f in ub_futs]
+            order.sort(key=lambda i: -ubs[i])
+
+        rows: list[dict] = []
+        theta = -np.inf
+        evaluated = skipped = 0
+        wave = self._wave
+        for w0 in range(0, len(order), wave):
+            batch = [
+                i
+                for i in order[w0 : w0 + wave]
+                if not (shard_prune and ubs[i] < theta)
+            ]
+            futs = [
+                self._pool.submit(
+                    self.shards[i].ranked_topk,
+                    query,
+                    k=k,
+                    scorer=scorer,
+                    prune=prune,
+                    probe=probe,
+                    ext_stats=ext,
+                )
+                for i in batch
+            ]
+            skipped += len(order[w0 : w0 + wave]) - len(batch)
+            evaluated += len(batch)
+            for f in futs:
+                rows.extend(f.result())
+            if shard_prune and len(rows) >= k:
+                theta = np.sort(np.asarray([r["score"] for r in rows]))[-k]
+        if stats is not None:
+            stats.update(
+                n_shards=len(self.shards),
+                evaluated=evaluated,
+                skipped=skipped,
+                shard_ubs=ubs,
+                theta=None if theta == -np.inf else float(theta),
             )
-            for s in self.shards
-        ]
-        rows = [r for f in futs for r in f.result()]
         if not rows:
             return []
         scores = np.asarray([r["score"] for r in rows])

@@ -149,6 +149,80 @@ def test_build_sharded_boolean_same_urls(single, orchestrated):
         assert got == want, q
 
 
+def _mk_pages(rows):
+    import datetime
+
+    import pandas as pd
+
+    return pd.DataFrame(
+        [
+            {
+                "url": u,
+                "warc_ts": datetime.datetime(2020, 1, 1),
+                "lang": "en",
+                "text": t,
+            }
+            for u, t in rows
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def skewed_shards(spark, tmp_path_factory):
+    """3 shards where one owns all the high-tf 'zebra' docs — the shape
+    where shard-level UB pruning must actually skip shards."""
+    from searchengine_spark.index.build import IndexBuilder
+
+    rows0 = [
+        (f"a{i:03d}", "zebra zebra zebra zebra common words here")
+        for i in range(30)
+    ]
+    rows1 = [
+        (f"m{i:03d}", ("zebra " if i == 0 else "") + "common words too")
+        for i in range(30)
+    ]
+    rows2 = [(f"t{i:03d}", "plain common words also") for i in range(30)]
+    paths = []
+    for k, rows in enumerate([rows0, rows1, rows2]):
+        out = str(tmp_path_factory.mktemp(f"skew{k}"))
+        IndexBuilder(spark, out, bucket_docs=64, id_base=64 * k).build(
+            spark.createDataFrame(_mk_pages(rows))
+        )
+        paths.append(out)
+    return paths
+
+
+def test_shard_prune_skips_and_stays_exact(skewed_shards):
+    # max_workers=1 → one shard per wave: the cascade actually runs.
+    seq = ShardedIndexReader(skewed_shards, max_workers=1)
+    full = ShardedIndexReader(skewed_shards)
+    st: dict = {}
+    got = seq.ranked_topk("zebra", k=5, stats=st)
+    want = full.ranked_topk("zebra", k=5, shard_prune=False)
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    assert st["evaluated"] + st["skipped"] == 3
+    # the low-tf shards' UB sits far below θ from the high-tf shard
+    assert st["skipped"] >= 1, st
+
+
+@pytest.mark.parametrize("scorer", ["tfidf_ref", "bm25"])
+@pytest.mark.parametrize("q", QUERIES[:5])
+def test_shard_prune_exact_sequential(single, sharded2, spark, small_corpus_pdf, tmp_path_factory, q, scorer):
+    """Sequential cascade (wave=1) over the 2-shard split must still be
+    bit-identical to the single index for the whole battery — pruning
+    is exact, not approximate."""
+    seq = ShardedIndexReader(
+        [s.path for s in sharded2.shards], max_workers=1
+    )
+    want = single.ranked_topk(q, k=20, scorer=scorer)
+    got = seq.ranked_topk(q, k=20, scorer=scorer)
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ], q
+
+
 def test_id_base_must_be_bucket_aligned(spark, tmp_path_factory):
     from searchengine_spark.index.build import IndexBuilder
 
