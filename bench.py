@@ -173,9 +173,16 @@ def _serve_clustered(cpus: int, n_docs: int) -> dict:
         f"bench-clustered-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     idx_dir = tempfile.mkdtemp(prefix="bench_clustered_", dir=_SCRATCH)
+    shard_root = tempfile.mkdtemp(prefix="bench_shards_", dir=_SCRATCH)
     try:
+        from searchengine_spark.index.sharding import build_sharded
+
         pages = generate_pages(spark, n_docs, parallelism=cpus * 2, clustered=True)
         IndexBuilder(spark, idx_dir, bucket_docs=1 << 8).build(pages)
+        # same corpus as 4 url-range shards: the root/leaf serving shape
+        shard_res = build_sharded(
+            spark, pages, shard_root, n_shards=4, bucket_docs=1 << 8
+        )
     finally:
         spark.stop()
     try:
@@ -231,9 +238,36 @@ def _serve_clustered(cpus: int, n_docs: int) -> dict:
         out["mean_pruned_fraction"] = round(
             sum(pruned_frac) / max(len(pruned_frac), 1), 3
         )
+
+        # sharded serving root over the same corpus (4 url-range shards,
+        # global stats, shard-level UB pruning) — sequential cascade
+        # (max_workers=1) so the skip rate is the honest worst-case one,
+        # not masked by a single full-width wave
+        from searchengine_spark.query.sharded import ShardedIndexReader
+
+        root = ShardedIndexReader(shard_res["shards"], max_workers=1)
+        for q in queries:
+            root.ranked_topk(q, k=20)  # warm shard lexicons/stats/blocks
+        skip_fracs, s_lats = [], []
+        for q in queries:
+            st: dict = {}
+            t0 = time.time()
+            root.ranked_topk(q, k=20, stats=st)
+            s_lats.append(time.time() - t0)
+            if st.get("n_shards"):
+                skip_fracs.append(st["skipped"] / st["n_shards"])
+        s_lats.sort()
+        out["sharded"] = {
+            "n_shards": len(shard_res["shards"]),
+            "p50_warm_sec": round(s_lats[len(s_lats) // 2], 5),
+            "mean_shard_skip_fraction": round(
+                sum(skip_fracs) / max(len(skip_fracs), 1), 3
+            ),
+        }
         return out
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(shard_root, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
