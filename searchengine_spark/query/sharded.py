@@ -80,6 +80,22 @@ class ShardedIndexReader:
         if not paths:
             raise ValueError("ShardedIndexReader needs at least one shard")
         self.shards = [LocalIndexReader(p, cache_blocks=cache_blocks) for p in paths]
+        # doc_id ranges must be disjoint or merged results silently alias
+        # documents. Each shard is dense from its id_base (density-net
+        # enforced at build), so [id_base, id_base + n_docs) is exact;
+        # pre-id_base indexes default to base 0 — two of those genuinely
+        # DO collide, and refusing them here is the correct outcome.
+        spans = sorted(
+            (int(s.meta.get("id_base", 0)), int(s.meta["n_docs"]), s.path)
+            for s in self.shards
+        )
+        for (b0, n0, p0), (b1, _, p1) in zip(spans, spans[1:]):
+            if b0 + n0 > b1:
+                raise ValueError(
+                    f"shard doc_id ranges overlap: {p0} owns [{b0}, {b0 + n0}) "
+                    f"but {p1} starts at {b1} — rebuild with disjoint "
+                    "id_base values (index/sharding.py computes them)"
+                )
         self.n_docs = sum(int(s.meta["n_docs"]) for s in self.shards)
         total_dl = sum(int(s.meta["total_dl"]) for s in self.shards)
         self.avgdl = total_dl / max(self.n_docs, 1)

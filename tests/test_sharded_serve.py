@@ -223,6 +223,13 @@ def test_shard_prune_exact_sequential(single, sharded2, spark, small_corpus_pdf,
     ], q
 
 
+def test_root_refuses_overlapping_shards(sharded2, built_index):
+    # the unsharded index claims [0, 300) and shard A claims [0, 192):
+    # combining them would alias doc_ids — the root must refuse at open
+    with pytest.raises(ValueError, match="overlap"):
+        ShardedIndexReader([built_index, sharded2.shards[0].path])
+
+
 def test_id_base_must_be_bucket_aligned(spark, tmp_path_factory):
     from searchengine_spark.index.build import IndexBuilder
 
