@@ -46,7 +46,12 @@ from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from ..text.udfs import extract_text, tokenize_doc
-from .varbyte import encode_positions_flat, encode_sorted, vb_encode
+from .varbyte import (
+    encode_positions_flat,
+    encode_sorted,
+    vb_encode,
+    vb_encode_all,
+)
 
 DEFAULT_BUCKET_DOCS = 1 << 17  # 131,072 docs per posting block row
 
@@ -387,43 +392,99 @@ def _encode_partition(batches):
     else:
         starts = np.array([0])
     ends = np.append(starts[1:], n)
+    n_groups = starts.size
 
-    rows = []
-    for a, b in zip(starts, ends):
-        d = doc_s[a:b]
-        t = tf_s[a:b]
-        g_dl = dl_s[a:b]
-        max_tf = int(t.max())
-        rows.append(
-            (
-                vocab[int(codes_s[a])].as_py(),
-                int(bucket_s[a]),
-                int(b - a),
-                int(t.sum()),
-                max_tf,
-                int(g_dl.min()),
-                float(ld_s[a:b].min()),
-                int(d[0]),
-                int(d[-1]),
-                1.0 + math.log(float(max_tf)),
-                encode_sorted(d),
-                vb_encode(t),
-                encode_positions_flat(pos_val[pos_off[a] : pos_off[b]], t),
-                vb_encode(g_dl),
-            )
+    # ---- group stats: one reduceat per stat, NO per-group Python loop.
+    # (A partition holds up to millions of tiny (term,bucket) groups; a
+    # per-group loop of ~30 numpy calls was the interpreter hot spot of
+    # the whole postings phase.)
+    df_b = (ends - starts).astype(np.int32)
+    cf_b = np.add.reduceat(tf_s, starts)
+    max_tf = np.maximum.reduceat(tf_s, starts)
+    min_dl = np.minimum.reduceat(dl_s, starts).astype(np.int32)
+    min_ld = np.minimum.reduceat(ld_s, starts)
+    doc_first = doc_s[starts]
+    doc_last = doc_s[ends - 1]
+    max_wdt = 1.0 + np.log(max_tf.astype(np.float64))
+    terms_arr = pc.take(vocab, pa.array(codes_s[starts]))
+    if terms_arr.type != pa.string():
+        terms_arr = terms_arr.cast(pa.string())
+
+    # ---- blobs: encode each stream ONCE over the whole partition and
+    # carve per-group byte ranges from the cumulative-ends array — the
+    # groups tile the sorted arrays contiguously, so the full buffer IS
+    # the concatenation of the per-group blobs and a zero-copy Arrow
+    # binary array needs only the byte offsets.
+    def _group_offsets(value_ends: np.ndarray, elem_bounds: np.ndarray):
+        # byte offset at element boundary e: 0 for e==0 else ends[e-1]
+        off = np.zeros(elem_bounds.size, dtype=np.int64)
+        nz = elem_bounds > 0
+        off[nz] = value_ends[elem_bounds[nz] - 1]
+        return off
+
+    def _bin_array(buf: np.ndarray, offsets: np.ndarray):
+        return pa.Array.from_buffers(
+            pa.binary(),
+            offsets.size - 1,
+            [
+                None,
+                pa.py_buffer(offsets.astype(np.int32).tobytes()),
+                pa.py_buffer(buf.tobytes()),
+            ],
         )
+
+    bounds = np.append(starts, n)  # element boundaries incl. final end
+
+    # docs_vb: delta chain reset at each group start (first doc absolute)
+    dgaps = np.empty_like(doc_s)
+    dgaps[0] = doc_s[0]
+    np.subtract(doc_s[1:], doc_s[:-1], out=dgaps[1:])
+    dgaps[starts] = doc_s[starts]
+    dbuf, dends = vb_encode_all(dgaps)
+    docs_vb = _bin_array(dbuf, _group_offsets(dends, bounds))
+
+    tbuf, tends = vb_encode_all(tf_s)
+    tfs_vb = _bin_array(tbuf, _group_offsets(tends, bounds))
+
+    lbuf, lends = vb_encode_all(dl_s)
+    dls_vb = _bin_array(lbuf, _group_offsets(lends, bounds))
+
+    # pos_vb: delta chain reset at each POSTING start (tf >= 1 always, so
+    # every pos_off[i] starts a non-empty list); group g owns the
+    # position elements [pos_off[starts[g]], pos_off[ends[g]])
+    if pos_val.size:
+        pgaps = np.empty_like(pos_val)
+        pgaps[0] = pos_val[0]
+        np.subtract(pos_val[1:], pos_val[:-1], out=pgaps[1:])
+        pgaps[pos_off[:-1]] = pos_val[pos_off[:-1]]
+        pbuf, pends = vb_encode_all(pgaps)
+    else:
+        pbuf = np.empty(0, dtype=np.uint8)
+        pends = np.empty(0, dtype=np.int64)
+    pos_vb = _bin_array(pbuf, _group_offsets(pends, pos_off[bounds]))
+
     names = [f for f, _ in POSTINGS_FIELDS]
-    types = [
-        pa.string(), pa.int32(), pa.int32(), pa.int64(), pa.int64(),
-        pa.int32(), pa.float64(), pa.int64(), pa.int64(), pa.float64(),
-        pa.binary(), pa.binary(), pa.binary(), pa.binary(),
-    ]
-    for lo in range(0, len(rows), 2048):
-        chunk_rows = rows[lo : lo + 2048]
-        cols = list(zip(*chunk_rows))
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(c, type=t) for c, t in zip(cols, types)], names
-        )
+    table = pa.Table.from_arrays(
+        [
+            terms_arr,
+            pa.array(bucket_s[starts].astype(np.int32), type=pa.int32()),
+            pa.array(df_b, type=pa.int32()),
+            pa.array(cf_b.astype(np.int64), type=pa.int64()),
+            pa.array(max_tf.astype(np.int64), type=pa.int64()),
+            pa.array(min_dl, type=pa.int32()),
+            pa.array(min_ld.astype(np.float64), type=pa.float64()),
+            pa.array(doc_first.astype(np.int64), type=pa.int64()),
+            pa.array(doc_last.astype(np.int64), type=pa.int64()),
+            pa.array(max_wdt, type=pa.float64()),
+            docs_vb,
+            tfs_vb,
+            pos_vb,
+            dls_vb,
+        ],
+        names,
+    )
+    assert table.num_rows == n_groups
+    yield from table.to_batches(max_chunksize=2048)
 
 
 def build_postings_local(

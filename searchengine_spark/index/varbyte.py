@@ -19,11 +19,16 @@ _U64 = np.uint64
 _MAX_BYTES = 10  # ceil(64/7)
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Encode a non-negative int array to variable-byte bytes."""
+def vb_encode_all(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a non-negative int array in one vectorized pass; returns
+    (uint8 byte buffer, int64 per-value CUMULATIVE byte ends). The ends
+    array lets a caller slice the buffer into arbitrary contiguous
+    value segments without re-encoding — the whole-partition encode of
+    ``index/build._encode_partition`` carves per-(term,bucket) blobs
+    from ONE encode instead of one encoder call per group."""
     n = np.asarray(values, dtype=_U64)
     if n.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     nbytes = np.ones(n.shape, dtype=np.int64)
     for shift in range(7, 64, 7):
         nbytes += (n >= (_U64(1) << _U64(shift))).astype(np.int64)
@@ -37,6 +42,12 @@ def vb_encode(values: np.ndarray) -> bytes:
         if j == 0:
             vals |= 128  # terminator byte has MSB set
         out[pos] = vals
+    return out, ends
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int array to variable-byte bytes."""
+    out, _ = vb_encode_all(values)
     return out.tobytes()
 
 
