@@ -372,9 +372,11 @@ def _encode_partition(batches):
     # what makes both Spark's In(term) row-group skipping and the serving
     # tier's binary-searched interval index actually prune. Rank the
     # (small) vocab once; rows sort by the rank.
-    vocab_np = np.asarray(vocab.to_pylist(), dtype=object)
-    rank = np.empty(len(vocab_np), dtype=np.int64)
-    rank[np.argsort(vocab_np)] = np.arange(len(vocab_np))
+    # Arrow C++ string sort; UTF-8 byte order == code-point order, so the
+    # rank matches a Python-str sort without materializing the vocab
+    sort_idx = pc.sort_indices(vocab).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[sort_idx] = np.arange(len(vocab))
     order = np.lexsort((doc_id, bucket, rank[codes]))
     codes_s = codes[order]
     bucket_s = bucket[order]
