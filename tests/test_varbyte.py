@@ -71,3 +71,38 @@ def test_positions_flat_matches_nested():
 def test_position_lists_empty():
     assert encode_position_lists([]) == b""
     assert decode_position_lists(b"", np.array([], dtype=np.int64)) == []
+
+
+def test_vb_encode_all_segmentation_property():
+    """The whole-array encode + per-value byte ends must slice into the
+    same bytes as encoding each segment independently — the invariant
+    the vectorized postings kernel relies on to carve per-(term,bucket)
+    blobs from one encode (index/build._encode_partition)."""
+    import random
+
+    import numpy as np
+
+    from searchengine_spark.index.varbyte import vb_encode, vb_encode_all
+
+    rng = random.Random(99)
+    for _ in range(25):
+        n = rng.randrange(1, 200)
+        # mix of 1-byte..multi-byte magnitudes incl. 64-bit extremes
+        vals = np.array(
+            [rng.choice([rng.randrange(0, 128),
+                         rng.randrange(0, 1 << 14),
+                         rng.randrange(0, 1 << 40),
+                         (1 << 64) - 1 - rng.randrange(0, 3)])
+             for _ in range(n)],
+            dtype=np.uint64,
+        )
+        buf, ends = vb_encode_all(vals)
+        whole = buf.tobytes()
+        assert whole == vb_encode(vals)
+        # random segmentation
+        cuts = sorted(rng.sample(range(1, n), min(rng.randrange(0, 6), n - 1))) if n > 1 else []
+        bounds = [0, *cuts, n]
+        for a, b in zip(bounds, bounds[1:]):
+            off_a = 0 if a == 0 else int(ends[a - 1])
+            off_b = 0 if b == 0 else int(ends[b - 1])
+            assert whole[off_a:off_b] == vb_encode(vals[a:b]), (a, b, vals[a:b])
