@@ -72,6 +72,45 @@ def remove_apostrophes(token: str) -> str:
     return token.replace("'", "")
 
 
+def token_events(raw: str, stem: Callable[[str], str]) -> tuple:
+    """(term, advance) pairs for ONE raw scanner token — the pure
+    per-token kernel of :func:`tokenize_events` (SimpleEngine.java:118-153).
+    ``advance`` is how far the position cursor moves AFTER emitting the
+    term at the current position; the hyphen concat term advances 0
+    (SimpleEngine.java:132). A pure function of the raw token, so the
+    Arrow batch kernel memoizes it per distinct raw token
+    (``text/udfs._tokenize_batch``) — Zipf text makes that a dict hit on
+    the vast majority of tokens."""
+    tok = strip_nonalnum(raw)  # SimpleTokenStream.nextToken (T2)
+    if not tok:
+        return ()  # empty tokens are skipped, no position consumed (T8)
+    # SimpleEngine.java:119 re-strips before removing apostrophes, but
+    # edge-stripping is idempotent (post-strip edges are \w), so the
+    # second strip is provably a no-op — skipped on the hot path
+    tok = remove_apostrophes(tok)
+    out = []
+    if "-" in tok and len(tok) > 1:
+        i = tok.index("-")
+        t1 = tok[:i].lower()
+        t2 = tok[i + 1 :].lower()
+        t3 = tok.replace("-", "").lower()
+        if t1 and t2 and t3:
+            term1 = stem(remove_apostrophes(strip_nonalnum(t1)))
+            term2 = stem(remove_apostrophes(strip_nonalnum(t2)))
+            term3 = stem(remove_apostrophes(strip_nonalnum(t3)))
+            if term3:
+                out.append((term3, 0))  # no increment (SimpleEngine.java:132)
+            if term1:
+                out.append((term1, 1))
+            if term2:
+                out.append((term2, 1))
+    elif "-" not in tok:
+        term = stem(tok.lower())
+        if term:
+            out.append((term, 1))
+    return tuple(out)
+
+
 def tokenize_events(
     text: str, stem: Callable[[str], str] | None = None
 ) -> Iterator[tuple[str, int]]:
@@ -82,40 +121,15 @@ def tokenize_events(
     position without incrementing, then prefix (increment), then suffix
     (increment); the all-three-nonempty gate applies to the raw lowercase
     splits, and each split is re-stripped + apostrophe-cleaned + stemmed.
+    Per-token logic lives in :func:`token_events`.
     """
     if stem is None:
         stem = porter_stem
     pos = 1
     for raw in java_ws_split(text):
-        tok = strip_nonalnum(raw)  # SimpleTokenStream.nextToken (T2)
-        if not tok:
-            continue  # empty tokens are skipped, no position consumed (T8)
-        # SimpleEngine.java:119 re-strips before removing apostrophes, but
-        # edge-stripping is idempotent (post-strip edges are \w), so the
-        # second strip is provably a no-op — skipped on the hot path
-        tok = remove_apostrophes(tok)
-        if "-" in tok and len(tok) > 1:
-            i = tok.index("-")
-            t1 = tok[:i].lower()
-            t2 = tok[i + 1 :].lower()
-            t3 = tok.replace("-", "").lower()
-            if t1 and t2 and t3:
-                term1 = stem(remove_apostrophes(strip_nonalnum(t1)))
-                term2 = stem(remove_apostrophes(strip_nonalnum(t2)))
-                term3 = stem(remove_apostrophes(strip_nonalnum(t3)))
-                if term3:
-                    yield (term3, pos)  # no increment (SimpleEngine.java:132)
-                if term1:
-                    yield (term1, pos)
-                    pos += 1
-                if term2:
-                    yield (term2, pos)
-                    pos += 1
-        elif "-" not in tok:
-            term = stem(tok.lower())
-            if term:
-                yield (term, pos)
-                pos += 1
+        for term, adv in token_events(raw, stem):
+            yield (term, pos)
+            pos += adv
 
 
 def tokenize_terms(text: str, stem: Callable[[str], str] | None = None) -> list[str]:

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .porter import StemCache
-from .tokenizer import doc_ld, tokenize_events
+from .tokenizer import doc_ld, java_ws_split, token_events, tokenize_events
 
 # --------------------------------------------------------------------------
 # extract_text
@@ -81,12 +81,25 @@ TOKENIZED_SCHEMA = T.StructType(
 
 def _tokenize_batch(texts: pd.Series) -> pd.DataFrame:
     stems = StemCache()  # memoized across the whole Arrow batch
+    # raw-token → (term, advance) events memo: the per-token pipeline
+    # (edge strip, apostrophes, hyphen expansion, stem) is a pure
+    # function of the raw token, and Zipf text repeats tokens heavily —
+    # distinct raw tokens per batch are a small fraction of total, so
+    # most tokens cost one dict hit instead of regex+stem work
+    tok_events: dict[str, tuple] = {}
     out_terms, out_dl, out_ld = [], [], []
     for text in texts:
         acc: dict[str, list[int]] = {}
         if text:
-            for term, pos in tokenize_events(text, stems.stem):
-                acc.setdefault(term, []).append(pos)
+            pos = 1
+            for raw in java_ws_split(text):
+                ev = tok_events.get(raw)
+                if ev is None:
+                    ev = token_events(raw, stems.stem)
+                    tok_events[raw] = ev
+                for term, adv in ev:
+                    acc.setdefault(term, []).append(pos)
+                    pos += adv
         out_terms.append(
             [
                 {"term": t, "tf": len(ps), "positions": ps}
