@@ -476,10 +476,22 @@ def _scaling_experiment(n_lo: int, n_docs: int, pairs: int) -> dict:
             # bigger turbo boosts, which biases every absolute pair ratio
             # DOWNWARD — the control shows the same bias (its own pairs
             # span 0.80-1.03 on an engine-free workload).
-            c_lo = _kernel_control_sec(texts, n_lo, enc_dir)
-            lo = _probe(n_lo, pages_dir, warm_dir, n_docs)
-            hi = _probe(n_hi, pages_dir, warm_dir, n_docs)
-            c_hi = _kernel_control_sec(texts, n_hi, enc_dir)
+            # alternate the lo/hi ORDER across pairs: turbo/steal drift is
+            # often monotone within the experiment window, and a fixed
+            # lo-first order hands the same drift direction to every pair
+            # (measured repeatedly as the 2-core side catching the boost).
+            # Order alternation makes consecutive pairs see opposite
+            # drift signs, so the median cancels it.
+            if done % 2 == 0:
+                c_lo = _kernel_control_sec(texts, n_lo, enc_dir)
+                lo = _probe(n_lo, pages_dir, warm_dir, n_docs)
+                hi = _probe(n_hi, pages_dir, warm_dir, n_docs)
+                c_hi = _kernel_control_sec(texts, n_hi, enc_dir)
+            else:
+                c_hi = _kernel_control_sec(texts, n_hi, enc_dir)
+                hi = _probe(n_hi, pages_dir, warm_dir, n_docs)
+                lo = _probe(n_lo, pages_dir, warm_dir, n_docs)
+                c_lo = _kernel_control_sec(texts, n_lo, enc_dir)
             e = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
             c = (c_lo / c_hi) / ratio
             # Interference guard: a 4N-core build of this embarrassingly-
@@ -506,7 +518,9 @@ def _scaling_experiment(n_lo: int, n_docs: int, pairs: int) -> dict:
             done += 1
         return {
             "method": (
-                "paired alternation, fresh JVM per probe; per-pair "
+                "paired alternation with per-pair lo/hi order flip "
+                "(cancels monotone turbo/steal drift), fresh JVM per "
+                "probe; per-pair "
                 "matched two-kernel control (tokenize + postings-encode, "
                 "the engine's own kernels via plain multiprocessing — "
                 "difference-in-differences); medians with min-max bands; "
