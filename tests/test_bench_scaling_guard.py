@@ -20,9 +20,13 @@ import bench
 class _Env:
     """Monkeypatch staging + probes; restore on exit."""
 
-    def __init__(self, monkeypatch, probe_script, ctl_sec_lo=40.0, ctl_sec_hi=11.0):
+    def __init__(self, monkeypatch, pair_script, ctl_sec_lo=40.0, ctl_sec_hi=11.0):
+        # pair_script: (lo_dps, hi_dps) per probe-pair ATTEMPT. The fake
+        # probe serves each attempt keyed by cpus, so it is agnostic to
+        # the experiment's per-pair lo/hi order alternation.
         self.calls = []
-        probe_iter = iter(probe_script)
+        attempts = iter(pair_script)
+        self._current: dict[int, float] = {}
 
         def fake_stage(n_docs, files=64):
             return (
@@ -33,7 +37,10 @@ class _Env:
             )
 
         def fake_probe(cpus, pages_dir, warm_dir, n_docs):
-            dps = next(probe_iter)
+            if not self._current:
+                lo_dps, hi_dps = next(attempts)
+                self._current = {2: lo_dps, 8: hi_dps}
+            dps = self._current.pop(cpus)
             self.calls.append((cpus, dps))
             return {"cpus": cpus, "n_docs": n_docs, "docs_per_sec": dps}
 
@@ -48,7 +55,7 @@ class _Env:
 
 def test_clean_pairs_no_retry(monkeypatch):
     # 3 pairs, hi = 3.2x lo everywhere -> efficiency 0.8, nothing discarded
-    _Env(monkeypatch, probe_script=[1000, 3200, 1000, 3200, 1000, 3200])
+    _Env(monkeypatch, pair_script=[(1000, 3200)] * 3)
     out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3)
     assert out["pairs"] == 3
     assert out["efficiency"] == 0.8
@@ -64,7 +71,7 @@ def test_interference_pair_discarded_and_rerun(monkeypatch):
     # discarded, reported, re-run, and excluded from medians/bands
     env = _Env(
         monkeypatch,
-        probe_script=[1000, 3200, 1000, 1000, 1000, 3200, 1000, 3200],
+        pair_script=[(1000, 3200), (1000, 1000), (1000, 3200), (1000, 3200)],
     )
     out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3)
     assert out["interference_retries"] == 1
@@ -80,10 +87,19 @@ def test_interference_pair_discarded_and_rerun(monkeypatch):
 def test_retry_budget_bounds_and_keeps_bad_pair(monkeypatch):
     # every pair is interfered: after the 2-retry budget is exhausted the
     # remaining bad pairs are KEPT (reported honestly, never an infinite loop)
-    _Env(monkeypatch, probe_script=[1000, 1000] * 5)
+    _Env(monkeypatch, pair_script=[(1000, 1000)] * 5)
     out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3)
     assert out["interference_retries"] == 2
     assert out["discarded_pair_efficiencies"] == [0.25, 0.25]
     # 3 kept pairs, all at the (real, if implausible) 0.25
     assert out["efficiency_pairs"] == [0.25, 0.25, 0.25]
     assert out["efficiency"] == 0.25
+
+
+def test_pair_order_alternates(monkeypatch):
+    # pair 0 runs lo-first, pair 1 hi-first: monotone host drift then hits
+    # opposite sides of consecutive pairs and cancels in the median
+    env = _Env(monkeypatch, pair_script=[(1000, 3200)] * 2)
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=2)
+    assert [c for c, _ in env.calls] == [2, 8, 8, 2]
+    assert out["efficiency"] == 0.8
