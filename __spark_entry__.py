@@ -666,6 +666,13 @@ def _ivf_fit(e):
                 ).alias("cv")
             )
             .select(F.col("cell").alias("cid"), "cv")
+            # materialize per iteration: cents is _IVF_CELLS rows (tiny at
+            # any scale) but its LAZY plan nests the full assign of every
+            # prior iteration — downstream consumers then recompute each
+            # Lloyd pass per reference. Checkpointing cuts the plan to a
+            # local table; values are the deterministic integer-scaled
+            # means either way.
+            .localCheckpoint()
         )
     return cents, _ivf_assign(e, cents)
 
