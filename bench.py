@@ -462,7 +462,8 @@ def _scaling_experiment(n_lo: int, n_docs: int, pairs: int) -> dict:
     try:
         pair_eff, ctl_eff, rel, lo_dps, hi_dps = [], [], [], [], []
         phase_lo, phase_hi = [], []
-        retries_left, retried, discarded = 2, 0, []
+        retries_left, retried, discarded = 4, 0, []
+        all_eff, all_rel = [], []  # every draw incl. discarded (reported)
         done = 0
         while done < pairs:
             # difference-in-differences: the control brackets the engine
@@ -494,19 +495,33 @@ def _scaling_experiment(n_lo: int, n_docs: int, pairs: int) -> dict:
                 c_lo = _kernel_control_sec(texts, n_lo, enc_dir)
             e = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
             c = (c_lo / c_hi) / ratio
-            # Interference guard: a 4N-core build of this embarrassingly-
-            # parallel pipeline running at <2× the N-core rate (pair
-            # efficiency <0.5) is physically implausible absent a host
-            # event hitting ONLY the short hi-probe window — observed
-            # once as an 8-core probe at 2-core speed (1936 vs a 4725
-            # median docs/s) while the SAME pair's control was normal, so
-            # DiD cannot cancel it. Such a pair is discarded and re-run
-            # (bounded budget, every discard reported, never resampled
-            # into the medians).
-            if e < 0.5 and retries_left > 0:
+            all_eff.append(e)
+            all_rel.append(e / c)
+            # Draw-quality guards (bounded retry budget; every discard
+            # reported; medians over ALL draws incl. discarded also
+            # reported, so the filtering is fully visible — ADVICE r3):
+            #  - SYMMETRIC implausibility band: pair efficiency <0.5
+            #    (a 4N-core build of this embarrassingly-parallel
+            #    pipeline at <2× the N-core rate needs a host event
+            #    hitting only one probe window) or >1.1 (superlinear —
+            #    the mirror-image event on the other window). Both are
+            #    measurement artifacts, not engine behavior.
+            #  - CONTROL-QUALITY gate (VERDICT r3 #2): a pair whose
+            #    matched two-kernel control scales <0.85 was drawn in a
+            #    window where THIS HOST cannot scale its own engine-free
+            #    kernels — by the repo's own DiD argument that draw is
+            #    uninformative about the engine, so it is re-drawn.
+            reason = None
+            if e < 0.5 or e > 1.1:
+                reason = "implausible_efficiency"
+            elif c < 0.85:
+                reason = "low_control"
+            if reason is not None and retries_left > 0:
                 retries_left -= 1
                 retried += 1
-                discarded.append(round(e, 3))
+                discarded.append(
+                    {"e": round(e, 3), "c": round(c, 3), "reason": reason}
+                )
                 continue
             lo_dps.append(lo["docs_per_sec"])
             hi_dps.append(hi["docs_per_sec"])
@@ -524,9 +539,12 @@ def _scaling_experiment(n_lo: int, n_docs: int, pairs: int) -> dict:
                 "matched two-kernel control (tokenize + postings-encode, "
                 "the engine's own kernels via plain multiprocessing — "
                 "difference-in-differences); medians with min-max bands; "
-                "pairs with efficiency <0.5 "
-                "(one-sided host interference the control cannot cancel) "
-                "discarded and re-run, bounded budget, discards reported"
+                "symmetric implausibility band (pair efficiency <0.5 or "
+                ">1.1) and control-quality gate (control <0.85 ⇒ the "
+                "host cannot scale its own engine-free kernels in that "
+                "window, draw uninformative) both discard-and-redraw "
+                "with a bounded budget; every discard reported and the "
+                "unfiltered all-draw medians reported alongside"
             ),
             "n_docs": n_docs,
             "pairs": pairs,
@@ -541,7 +559,11 @@ def _scaling_experiment(n_lo: int, n_docs: int, pairs: int) -> dict:
             "efficiency_vs_control": round(_median(rel), 3),
             "efficiency_vs_control_pairs": [round(x, 3) for x in sorted(rel)],
             "interference_retries": retried,
-            "discarded_pair_efficiencies": discarded,
+            "discarded_pairs": discarded,
+            # unfiltered medians over EVERY draw incl. discarded ones —
+            # the no-silent-filtering companion to the gated medians
+            "efficiency_all_draws": round(_median(all_eff), 3),
+            "efficiency_vs_control_all_draws": round(_median(all_rel), 3),
             # median seconds per build phase per side: separates the
             # scalable phases (docs tokenize ~0.80 ceiling, postings
             # encode ~0.74 kernel ceiling — BENCH/BASELINE.md §3) from
@@ -572,11 +594,20 @@ def main() -> None:
 
     spark = get_spark("bench-suite", master=f"local[{cpus}]", shuffle_partitions=cpus)
     per_query: dict[str, float] = {}
+    per_query_bands: dict[str, list] = {}
+    query_reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
     try:
         for name, fn in entry_mod.queries().items():
-            t0 = time.time()
-            fn(spark, sf_dir).count()
-            per_query[name] = round(time.time() - t0, 3)
+            # median-of-reps per query (VERDICT r3 #6: single-sample
+            # walls are indistinguishable from host phase — the r3
+            # ann_ivf 3.45→4.21 "regression" was noise)
+            secs = []
+            for _ in range(query_reps):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                secs.append(time.time() - t0)
+            per_query[name] = round(_median(secs), 3)
+            per_query_bands[name] = [round(min(secs), 3), round(max(secs), 3)]
         # plan-audit artifact: formatted plans of the 5 most expensive
         # queries this run, for the judge / regression diffing (the
         # machine-checked invariants live in tests/test_plan_audit.py)
@@ -597,6 +628,21 @@ def main() -> None:
             ann_curve = entry_mod.ann_recall_curve(spark, sf_dir)
         except Exception as exc:
             ann_curve = {"error": f"{type(exc).__name__}: {exc}"}
+        # no-silent-caps diagnostics (VERDICT r3 #3): near-dup pair
+        # recall vs brute force at the bench sf; LSH pipeline recall vs
+        # UNCAPPED exact Jaccard at sf0.01 (the ground truth is O(d²) —
+        # sf0.01 keeps it exact and cheap)
+        try:
+            neardup_recall = entry_mod.neardup_pair_recall(spark, sf_dir)
+        except Exception as exc:
+            neardup_recall = {"error": f"{type(exc).__name__}: {exc}"}
+        sf001_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+        try:
+            lsh_recall = entry_mod.lsh_pair_recall(
+                spark, sf001_dir if os.path.isdir(sf001_dir) else sf_dir
+            )
+        except Exception as exc:
+            lsh_recall = {"error": f"{type(exc).__name__}: {exc}"}
     finally:
         spark.stop()
 
@@ -614,36 +660,66 @@ def main() -> None:
         except Exception as exc:  # the one JSON line must still print
             result["scaling"] = {"error": f"{type(exc).__name__}: {exc}"}
 
+    detail = {
+        "build_sec": round(result["build_sec"], 2),
+        "build_docs_per_sec_band": [
+            round(x, 1) for x in result.get("build_docs_per_sec_band", [])
+        ],
+        "bench_docs": n_docs,
+        "batch_qps": round(result.get("batch_qps", 0.0), 2),
+        "batch_qps_band": [
+            round(x, 2) for x in result.get("batch_qps_band", [])
+        ],
+        "interactive_p50_sec": round(result.get("interactive_p50_sec", 0.0), 3),
+        "interactive_p95_sec": round(result.get("interactive_p95_sec", 0.0), 3),
+        "serve_p50_sec": round(result.get("serve_p50_sec", 0.0), 4),
+        "serve_p95_sec": round(result.get("serve_p95_sec", 0.0), 4),
+        "serve_p50_band": [
+            round(x, 4) for x in result.get("serve_p50_band", [])
+        ],
+        "serve_qps": round(result.get("serve_qps", 0.0), 1),
+        "serve_clustered": serve_clustered,
+        "ann_recall_curve": ann_curve,
+        "neardup_pair_recall": neardup_recall,
+        "lsh_pair_recall": lsh_recall,
+        "query_reps": query_reps,
+        "query_bands": per_query_bands,
+        "scaling": result.get("scaling"),
+    }
+    # the bulky detail goes to a SIDECAR file (committed under BENCH/);
+    # round 3's single stdout line outgrew the driver's tail-capture
+    # window and the whole round parsed as null (VERDICT r3 #1) — the
+    # LAST stdout line must stay compact and self-contained
+    detail_path = os.path.join(_REPO, "BENCH", "detail_latest.json")
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    scaling = result.get("scaling") or {}
+    scaling_headline = (
+        {
+            "efficiency": scaling.get("efficiency"),
+            "efficiency_pairs": scaling.get("efficiency_pairs"),
+            "control_efficiency": scaling.get("control_efficiency"),
+            "efficiency_vs_control": scaling.get("efficiency_vs_control"),
+            "efficiency_all_draws": scaling.get("efficiency_all_draws"),
+            "interference_retries": scaling.get("interference_retries"),
+            "n_docs": scaling.get("n_docs"),
+        }
+        if "efficiency" in scaling
+        else scaling
+    )
     line = {
         "metric": "index_build_docs_per_sec",
         "value": round(result["build_docs_per_sec"], 2),
         "unit": "docs/sec",
         "queries": per_query,
         "sf": sf,
-        "detail": {
-            "build_sec": round(result["build_sec"], 2),
-            "build_docs_per_sec_band": [
-                round(x, 1) for x in result.get("build_docs_per_sec_band", [])
-            ],
-            "bench_docs": n_docs,
-            "batch_qps": round(result.get("batch_qps", 0.0), 2),
-            "batch_qps_band": [
-                round(x, 2) for x in result.get("batch_qps_band", [])
-            ],
-            "interactive_p50_sec": round(result.get("interactive_p50_sec", 0.0), 3),
-            "interactive_p95_sec": round(result.get("interactive_p95_sec", 0.0), 3),
-            "serve_p50_sec": round(result.get("serve_p50_sec", 0.0), 4),
-            "serve_p95_sec": round(result.get("serve_p95_sec", 0.0), 4),
-            "serve_p50_band": [
-                round(x, 4) for x in result.get("serve_p50_band", [])
-            ],
-            "serve_qps": round(result.get("serve_qps", 0.0), 1),
-            "serve_clustered": serve_clustered,
-            "ann_recall_curve": ann_curve,
-            "scaling": result.get("scaling"),
-        },
+        "batch_qps": round(result.get("batch_qps", 0.0), 2),
+        "serve_p50_ms": round(result.get("serve_p50_sec", 0.0) * 1000, 2),
+        "scaling": scaling_headline,
+        "detail_path": os.path.relpath(detail_path, _REPO),
     }
-    print(json.dumps(line))
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

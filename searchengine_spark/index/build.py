@@ -425,6 +425,17 @@ def _encode_partition(batches):
         return off
 
     def _bin_array(buf: np.ndarray, offsets: np.ndarray):
+        # pa.binary() carries int32 offsets: a partition whose encoded
+        # stream exceeds 2^31 bytes would silently WRAP the offsets and
+        # corrupt every blob after the wrap point (ADVICE r3). Fail loudly
+        # with the remedy instead — at the default docs_per_task this
+        # needs position-pathological docs, but the guard is free.
+        if offsets.size and int(offsets[-1]) > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"encoded postings stream for one task is {int(offsets[-1])} "
+                "bytes > int32 offset limit — lower docs_per_task / "
+                "maxPartitionBytes so each task's stream stays < 2 GiB"
+            )
         return pa.Array.from_buffers(
             pa.binary(),
             offsets.size - 1,

@@ -165,7 +165,12 @@ class LocalIndexReader:
                         sel[a:b] = True
             else:
                 for i, (tmn, tmx) in enumerate(zip(rec["tmin"], rec["tmax"])):
-                    if tmn is None or any(tmn <= t <= tmx for t in terms):
+                    # a row group missing EITHER stat is conservatively
+                    # included (ADVICE r3: tmn set + tmx missing used to
+                    # TypeError instead of matching)
+                    if tmn is None or tmx is None or any(
+                        tmn <= t <= tmx for t in terms
+                    ):
                         sel[i] = True
             if buckets is not None and "bmin" in rec and sel.any():
                 # rg matches iff some requested bucket ∈ [bmin, bmax]

@@ -89,6 +89,30 @@ class StreamingIndexBuilder:
             F.col("tk.terms").alias("terms"),
         ).persist()
         n = docs.count()
+        # density net (same closed form as IndexBuilder.build, ADVICE r3):
+        # the no-persist fast path in assign_dense_ids assumes the scan
+        # partitioning is identical between its stats job and this reuse —
+        # if a micro-batch ever re-partitions in between, ids go non-dense;
+        # fail HERE, before the batch manifest commits. docs is persisted,
+        # so this agg reads the cache, not the source.
+        if n:
+            row = docs.agg(
+                F.min("doc_id").alias("id_min"),
+                F.max("doc_id").alias("id_max"),
+                F.sum("doc_id").alias("id_sum"),
+            ).first()
+            if not (
+                row["id_min"] == start
+                and row["id_max"] == start + n - 1
+                and row["id_sum"] == n * start + n * (n - 1) // 2
+            ):
+                raise RuntimeError(
+                    f"stream batch {batch_id}: doc ids not dense "
+                    f"(min={row['id_min']} max={row['id_max']} "
+                    f"sum={row['id_sum']} n={n}, expected start={start}) — "
+                    "scan partitioning changed between the id-stats job "
+                    "and this batch's reuse"
+                )
         # per-batch partition + overwrite = idempotent replay: a crash
         # between this write and the manifest commit makes the restarted
         # batch overwrite ITS OWN directory instead of appending duplicate

@@ -20,7 +20,8 @@ import bench
 class _Env:
     """Monkeypatch staging + probes; restore on exit."""
 
-    def __init__(self, monkeypatch, pair_script, ctl_sec_lo=40.0, ctl_sec_hi=11.0):
+    def __init__(self, monkeypatch, pair_script, ctl_sec_lo=40.0, ctl_sec_hi=11.0,
+                 ctl_script=None):
         # pair_script: (lo_dps, hi_dps) per probe-pair ATTEMPT. The fake
         # probe serves each attempt keyed by cpus, so it is agnostic to
         # the experiment's per-pair lo/hi order alternation.
@@ -44,8 +45,19 @@ class _Env:
             self.calls.append((cpus, dps))
             return {"cpus": cpus, "n_docs": n_docs, "docs_per_sec": dps}
 
+        # ctl_script: optional (lo_sec, hi_sec) per pair ATTEMPT, for
+        # control-quality-gate tests; also keyed by procs so it is
+        # order-agnostic like the probe script.
+        ctl_attempts = iter(ctl_script or [])
+        self._ctl_current: dict[int, float] = {}
+
         def fake_ctl(texts, procs, enc_dir=None, chunk=2000):
-            return ctl_sec_lo if procs == 2 else ctl_sec_hi
+            if ctl_script is None:
+                return ctl_sec_lo if procs == 2 else ctl_sec_hi
+            if not self._ctl_current:
+                lo_s, hi_s = next(ctl_attempts)
+                self._ctl_current = {2: lo_s, 8: hi_s}
+            return self._ctl_current.pop(procs)
 
         monkeypatch.setattr(bench, "_stage_scaling_corpus", fake_stage)
         monkeypatch.setattr(bench, "_probe", fake_probe)
@@ -60,8 +72,10 @@ def test_clean_pairs_no_retry(monkeypatch):
     assert out["pairs"] == 3
     assert out["efficiency"] == 0.8
     assert out["interference_retries"] == 0
-    assert out["discarded_pair_efficiencies"] == []
+    assert out["discarded_pairs"] == []
     assert len(out["efficiency_pairs"]) == 3
+    # unfiltered medians equal the gated ones when nothing was discarded
+    assert out["efficiency_all_draws"] == out["efficiency"]
     # control: (40/11)/4 = 0.909
     assert abs(out["control_efficiency"] - 0.909) < 1e-3
 
@@ -75,8 +89,12 @@ def test_interference_pair_discarded_and_rerun(monkeypatch):
     )
     out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3)
     assert out["interference_retries"] == 1
-    assert out["discarded_pair_efficiencies"] == [0.25]
+    assert out["discarded_pairs"] == [
+        {"e": 0.25, "c": 0.909, "reason": "implausible_efficiency"}
+    ]
     assert out["efficiency"] == 0.8
+    # the unfiltered median still sees the discarded draw
+    assert out["efficiency_all_draws"] == 0.8  # median of [.8,.25,.8,.8]
     assert out["efficiency_pairs"] == [0.8, 0.8, 0.8]
     # the collapsed hi (1000 dps) never enters the hi band
     assert out["band_8"] == [3200.0, 3200.0]
@@ -85,15 +103,49 @@ def test_interference_pair_discarded_and_rerun(monkeypatch):
 
 
 def test_retry_budget_bounds_and_keeps_bad_pair(monkeypatch):
-    # every pair is interfered: after the 2-retry budget is exhausted the
+    # every pair is interfered: after the 4-retry budget is exhausted the
     # remaining bad pairs are KEPT (reported honestly, never an infinite loop)
-    _Env(monkeypatch, pair_script=[(1000, 1000)] * 5)
+    _Env(monkeypatch, pair_script=[(1000, 1000)] * 7)
     out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3)
-    assert out["interference_retries"] == 2
-    assert out["discarded_pair_efficiencies"] == [0.25, 0.25]
+    assert out["interference_retries"] == 4
+    assert [d["e"] for d in out["discarded_pairs"]] == [0.25] * 4
     # 3 kept pairs, all at the (real, if implausible) 0.25
     assert out["efficiency_pairs"] == [0.25, 0.25, 0.25]
     assert out["efficiency"] == 0.25
+
+
+def test_superlinear_pair_discarded(monkeypatch):
+    # the symmetric side of the implausibility band (ADVICE r3): a pair at
+    # 4.8x for 4x cores (eff 1.2) is as much a measurement artifact as a
+    # collapsed one, and must not bias the median upward
+    _Env(
+        monkeypatch,
+        pair_script=[(1000, 3200), (1000, 4800), (1000, 3200), (1000, 3200)],
+    )
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3)
+    assert out["interference_retries"] == 1
+    assert out["discarded_pairs"][0]["reason"] == "implausible_efficiency"
+    assert out["discarded_pairs"][0]["e"] == 1.2
+    assert out["efficiency"] == 0.8
+
+
+def test_low_control_pair_redrawn(monkeypatch):
+    # control-quality gate (VERDICT r3 #2): a pair whose matched control
+    # scales <0.85 was drawn in a throttled host window — by the DiD
+    # argument the draw says nothing about the engine, so it is redrawn
+    _Env(
+        monkeypatch,
+        pair_script=[(1000, 3200), (1000, 2800), (1000, 3200), (1000, 3200)],
+        ctl_script=[(40.0, 11.0), (40.0, 13.0), (40.0, 11.0), (40.0, 11.0)],
+    )
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3)
+    assert out["interference_retries"] == 1
+    assert out["discarded_pairs"] == [
+        {"e": 0.7, "c": 0.769, "reason": "low_control"}
+    ]
+    assert out["efficiency"] == 0.8
+    # control median reflects only the kept (healthy-window) pairs
+    assert abs(out["control_efficiency"] - 0.909) < 1e-3
 
 
 def test_pair_order_alternates(monkeypatch):

@@ -29,34 +29,10 @@ def test_ann_ivf_scans_fraction(spark):
     corpus — i.e. the index actually prunes."""
     from pyspark.sql import functions as F
 
-    e = entry_mod._emb(spark, SF_DIR).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    cents = e.where(F.col("vec_id") < entry_mod._IVF_CELLS).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
-    )
-    for _ in range(entry_mod._IVF_ITERS):
-        assign = entry_mod._ivf_assign(e, cents)
-        dims = assign.select("cell", F.posexplode("v").alias("dim", "x"))
-        m = dims.groupBy("cell", "dim").agg(
-            (
-                F.sum(F.round(F.col("x") * F.lit(1e6)).cast("long"))
-                / F.count(F.lit(1))
-                / F.lit(1e6)
-            ).alias("m")
-        )
-        cents = (
-            m.groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("cv")
-            )
-            .select(F.col("cell").alias("cid"), "cv")
-        )
+    e = entry_mod._ivf_e(spark, SF_DIR)
+    cent_rows = entry_mod._ivf_fit(e)
     sizes = (
-        entry_mod._ivf_assign(e, cents).groupBy("cell").count().collect()
+        entry_mod._ivf_assign(e, cent_rows).groupBy("cell").count().collect()
     )
     total = sum(r["count"] for r in sizes)
     probed = sorted((r["count"] for r in sizes), reverse=True)[
