@@ -68,7 +68,7 @@ class _Env:
 def test_clean_pairs_no_retry(monkeypatch):
     # 3 pairs, hi = 3.2x lo everywhere -> efficiency 0.8, nothing discarded
     _Env(monkeypatch, pair_script=[(1000, 3200)] * 3)
-    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3)
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3, phase_retry_pairs=0)
     assert out["pairs"] == 3
     assert out["efficiency"] == 0.8
     assert out["interference_retries"] == 0
@@ -87,7 +87,7 @@ def test_interference_pair_discarded_and_rerun(monkeypatch):
         monkeypatch,
         pair_script=[(1000, 3200), (1000, 1000), (1000, 3200), (1000, 3200)],
     )
-    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3)
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3, phase_retry_pairs=0)
     assert out["interference_retries"] == 1
     assert out["discarded_pairs"] == [
         {"e": 0.25, "c": 0.909, "reason": "implausible_efficiency"}
@@ -106,7 +106,7 @@ def test_retry_budget_bounds_and_keeps_bad_pair(monkeypatch):
     # every pair is interfered: after the 4-retry budget is exhausted the
     # remaining bad pairs are KEPT (reported honestly, never an infinite loop)
     _Env(monkeypatch, pair_script=[(1000, 1000)] * 7)
-    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3)
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3, phase_retry_pairs=0)
     assert out["interference_retries"] == 4
     assert [d["e"] for d in out["discarded_pairs"]] == [0.25] * 4
     # 3 kept pairs, all at the (real, if implausible) 0.25
@@ -122,7 +122,7 @@ def test_superlinear_pair_discarded(monkeypatch):
         monkeypatch,
         pair_script=[(1000, 3200), (1000, 4800), (1000, 3200), (1000, 3200)],
     )
-    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3)
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3, phase_retry_pairs=0)
     assert out["interference_retries"] == 1
     assert out["discarded_pairs"][0]["reason"] == "implausible_efficiency"
     assert out["discarded_pairs"][0]["e"] == 1.2
@@ -138,7 +138,7 @@ def test_low_control_pair_redrawn(monkeypatch):
         pair_script=[(1000, 3200), (1000, 2800), (1000, 3200), (1000, 3200)],
         ctl_script=[(40.0, 11.0), (40.0, 13.0), (40.0, 11.0), (40.0, 11.0)],
     )
-    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3)
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3, phase_retry_pairs=0)
     assert out["interference_retries"] == 1
     assert out["discarded_pairs"] == [
         {"e": 0.7, "c": 0.769, "reason": "low_control"}
@@ -152,6 +152,61 @@ def test_pair_order_alternates(monkeypatch):
     # pair 0 runs lo-first, pair 1 hi-first: monotone host drift then hits
     # opposite sides of consecutive pairs and cancels in the median
     env = _Env(monkeypatch, pair_script=[(1000, 3200)] * 2)
-    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=2)
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=2, phase_retry_pairs=0)
     assert [c for c, _ in env.calls] == [2, 8, 8, 2]
     assert out["efficiency"] == 0.8
+
+
+def test_phase_retry_extends_experiment_once(monkeypatch):
+    # all 3 quota pairs draw a throttled window (eff 0.6, control healthy
+    # so nothing is discarded): the experiment extends itself by 2 extra
+    # pairs ONCE; medians then see the recovered window
+    _Env(
+        monkeypatch,
+        pair_script=[(1000, 2400)] * 3 + [(1000, 3200)] * 2,
+    )
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3, phase_retry_pairs=2)
+    assert out["phase_retry_pairs"] == 2
+    assert out["pairs"] == 5
+    assert sorted(out["efficiency_pairs"]) == [0.6, 0.6, 0.6, 0.8, 0.8]
+    assert out["efficiency"] == 0.6  # median of 5 — honest, not cherry-picked
+
+
+def test_phase_retry_not_triggered_when_criterion_met(monkeypatch):
+    env = _Env(monkeypatch, pair_script=[(1000, 3200)] * 3)
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3, phase_retry_pairs=2)
+    assert out["phase_retry_pairs"] == 0
+    assert len(env.calls) == 6  # exactly 3 pairs, no extension
+
+
+def test_per_core_efficiency_uses_occupancy(monkeypatch):
+    # probes reporting cores_used: raw divides by 4, per-core by the
+    # measured occupancy ratio (9.5/2.8 ≈ 3.39)
+    env = _Env(monkeypatch, pair_script=[(1000, 3000)] * 3)
+    orig_probe = bench._probe
+
+    def probe_with_occ(cpus, pages_dir, warm_dir, n_docs):
+        out = orig_probe(cpus, pages_dir, warm_dir, n_docs)
+        out["cores_used"] = 2.8 if cpus == 2 else 9.5
+        return out
+
+    monkeypatch.setattr(bench, "_probe", probe_with_occ)
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3, phase_retry_pairs=0)
+    assert out["efficiency"] == 0.75
+    assert abs(out["efficiency_per_core"] - 3.0 / (9.5 / 2.8)) < 1e-3
+    assert out["cores_used_2"] == 2.8
+    assert out["cores_used_8"] == 9.5
+
+
+def test_high_raw_pair_kept_despite_low_control(monkeypatch):
+    # throttle suppresses the hi side, so a >=0.8 raw reading from a
+    # low-control window is a LOWER BOUND on the engine and must be kept
+    _Env(
+        monkeypatch,
+        pair_script=[(1000, 3200), (1000, 3300), (1000, 3200)],
+        ctl_script=[(40.0, 11.0), (40.0, 13.0), (40.0, 11.0)],
+    )
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3, phase_retry_pairs=0)
+    assert out["interference_retries"] == 0
+    assert out["discarded_pairs"] == []
+    assert out["efficiency_pairs"] == [0.8, 0.8, 0.825]
