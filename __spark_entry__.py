@@ -612,9 +612,23 @@ def _q_lsh_band_pairs(spark, sf):
     ).orderBy("doc_a", "doc_b")
 
 
-_IVF_CELLS = 8
+_IVF_CELLS = 8     # K floor (the value the sf0.01 driver corpus fits)
+_IVF_CELLS_MAX = 256  # literal-embedding sanity cap (see _ivf_k)
+_IVF_VECS_PER_CELL = 250  # target cell size: K grows with the corpus
 _IVF_NPROBE = 2
 _IVF_ITERS = 2
+
+
+def _ivf_k(n: int) -> int:
+    """Adaptive cell count: K ~ n/250 clamped to [8, 256]. A FIXED K is
+    the quadratic trap the 1×-vs-10× scale sample caught (the same-cell
+    near-dup join grows as n²/K — measured exponent 2.13 with K=8 at
+    20k vectors, 407 s); scaling K with n keeps cells ~constant-size so
+    the join stays linear. The cap bounds the literal centroid array
+    embedded in the map-side assign plan; at 10^9 vectors K would be
+    ~n/10³ with the centroids broadcast as a table instead of literals
+    (same plan shape, different transport)."""
+    return min(_IVF_CELLS_MAX, max(_IVF_CELLS, n // _IVF_VECS_PER_CELL))
 
 
 def _ivf_dot(x, y):
@@ -740,9 +754,10 @@ def _ivf_fit(e):
     COLLECTED to the driver (tiny at any K — they are the model) so the
     next e-step is map-side. Collecting also cuts the lazy plan per
     iteration, which the round-3 localCheckpoint existed to do."""
+    k = _ivf_k(e.count())
     cent_rows = [
         (int(r["cid"]), list(r["cv"]))
-        for r in e.where(F.col("vec_id") < _IVF_CELLS)
+        for r in e.where(F.col("vec_id") < k)
         .select(
             F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
         )
@@ -963,25 +978,37 @@ def _q_embedding_neardup_pairs(spark, sf):
     e = _ivf_e(spark, sf)
     # cached fit (shared with ann_ivf_topk); the assignment itself is a
     # map-side projection, so recomputing it per join side costs one
-    # codegen'd scan each — no shuffle, no refit
-    assign = _ivf_assign2(e, _ivf_fit_cached(spark, sf)).localCheckpoint()
+    # codegen'd scan each — no shuffle, no refit. Per-vector norms are
+    # precomputed ONCE here: sqrt(dot(v,v)) is the same deterministic
+    # fold whether evaluated per vector or per pair, so the cosine bits
+    # are unchanged while the per-pair HOF work drops from 3 folds to 1.
+    assign = (
+        _ivf_assign2(e, _ivf_fit_cached(spark, sf))
+        .withColumn("nrm", _ivf_nrm(F.col("v")))
+        .localCheckpoint()
+    )
     a = assign.select(
-        F.col("cell"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+        F.col("cell"), F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
     )
     b = assign.select(
-        F.col("cell"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+        F.col("cell"), F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
-    cos = _ivf_dot(F.col("va"), F.col("vb")) / (
-        _ivf_nrm(F.col("va")) * _ivf_nrm(F.col("vb"))
-    )
+    cos = _ivf_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "cell")
         .where(F.col("vec_a") < F.col("vec_b"))
-        # a pair can collide in up to 2 shared cells — dedupe before
-        # scoring (the duplicate rows are bit-identical, so which copy
-        # survives is immaterial)
-        .dropDuplicates(["vec_a", "vec_b"])
+        # project the cosine MAP-SIDE first: the pair dedup below then
+        # shuffles 3 scalar columns, not two 64-double vectors per row
+        # (measured 10 GB → ~250 MB at the 10× scale sample)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+        # a pair can collide in up to 2 shared cells — dedupe before
+        # top-k (duplicate rows are bit-identical: same vectors, same
+        # fold, same rounded cosine — so which copy survives is
+        # immaterial, and dropDuplicates' map-side partial aggregation
+        # halves the exchange again)
+        .dropDuplicates(["vec_a", "vec_b"])
         .orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(20)
     )
@@ -1316,7 +1343,10 @@ def _ivf_fit_ctes() -> list[str]:
     cos = _ivf_cos
     ctes = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < {_IVF_CELLS})",
+        # adaptive K mirror of _ivf_k: clamp(n // 250, 8, 256)
+        f"kk AS (SELECT least({_IVF_CELLS_MAX}, greatest({_IVF_CELLS}, "
+        f"count(*) // {_IVF_VECS_PER_CELL})) AS k FROM e)",
+        "c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e, kk WHERE vec_id < kk.k)",
     ]
     prev = "c0"
     for it in range(_IVF_ITERS):
