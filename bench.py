@@ -13,11 +13,18 @@ Covers the BASELINE.json metric surface:
     $SPARK_GRAFT_SF_DIR
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 20000).
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_DOCS (default 20000),
+SPARK_GRAFT_QUERY_REPS (per-query median-of-N, default 3).
 The N-vs-4N scaling experiment (the sandbox stand-in for N vs 4N
 executors — see _scaling_experiment) runs BY DEFAULT; disable with
 SPARK_GRAFT_SCALING=0, tune with SPARK_GRAFT_SCALING_N /
-SPARK_GRAFT_SCALING_DOCS / SPARK_GRAFT_SCALING_PAIRS.
+SPARK_GRAFT_SCALING_DOCS / SPARK_GRAFT_SCALING_PAIRS /
+SPARK_GRAFT_SCALING_RETRY_PAIRS (extra pairs if the gated medians miss
+both acceptance readings, default 2).
+
+The final stdout line is a COMPACT headline JSON; the full per-run
+detail (bands, recall diagnostics, serve/clustered blocks, the complete
+scaling experiment) lands in BENCH/detail_latest.json.
 """
 
 from __future__ import annotations
