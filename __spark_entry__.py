@@ -641,6 +641,20 @@ def _ivf_nrm(c):
     return F.sqrt(_ivf_dot(c, c))
 
 
+def _cent_norm(cv) -> float:
+    """Driver-side ‖cv‖ for a literal centroid, replicating the SQL fold
+    bit-for-bit (Python floats are IEEE doubles; math.sqrt is the same
+    correctly-rounded sqrt): 0.0 + cv₀² + cv₁² + … then √. Precomputing
+    the K centroid norms once removes a 64-step fold per (row, centroid)
+    from the assign stage without touching a single result bit."""
+    import math
+
+    acc = 0.0
+    for x in cv:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
 def _ivf_assign(e, cent_rows):
     """MAP-SIDE nearest-centroid assignment (cosine, centroid-id
     tiebreak): the K driver-held centroids are embedded as a literal
@@ -653,22 +667,35 @@ def _ivf_assign(e, cent_rows):
     Tie semantics match the previous window (cos DESC, cid ASC): the
     fold visits cids in ASCENDING order and replaces only on a STRICT
     cosine improvement, so the lowest cid wins exact-double ties — the
-    cosine expression itself is unchanged, hence bit-identical to the
-    DuckDB oracle's window."""
+    cosine VALUE is bit-identical to the DuckDB oracle's window (the
+    centroid norms are precomputed driver-side with the same IEEE op
+    order as the SQL fold, see _cent_norm).
+
+    NOTE on form: the fold IS the fast shape here. A fully-unrolled
+    64-wide dot (flat element_at chain) was measured 2-3× SLOWER in
+    every context on Spark 4 — flat per-pair join cosine 9 s → 26 s,
+    candidate rescore 1.4 s → 2.9 s warm, and inside this fold 1.2 s →
+    11 s (K×dim expression tree breaks codegen entirely). Spark 4
+    codegens HOF lambdas over primitive arrays; the unrolled chain of
+    128 null-checked element_at calls blows the JIT method budget."""
     carr = F.array(
         *[
             F.struct(
                 F.lit(int(cid)).alias("cid"),
                 F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                F.lit(_cent_norm(cv)).alias("nc"),
             )
             for cid, cv in cent_rows
         ]
     )
+    # the dot INSIDE the per-centroid fold stays the HOF form: unrolling
+    # it multiplies the expression tree by K×dim and breaks codegen
+    # (measured 1.2 s → 11 s). The centroid norms ARE hoisted — they are
+    # literals precomputed driver-side with the same IEEE op order.
+    nv = _ivf_nrm(F.col("v"))
 
     def _cos(c):
-        return _ivf_dot(F.col("v"), c["cv"]) / (
-            _ivf_nrm(F.col("v")) * _ivf_nrm(c["cv"])
-        )
+        return _ivf_dot(F.col("v"), c["cv"]) / (nv * c["nc"])
 
     best = F.aggregate(
         carr,
@@ -695,21 +722,24 @@ def _ivf_assign2(e, cent_rows):
     vs brute force rose 0.55 → see bench detail (VERDICT r3 #4).
     Tie semantics at both ranks: ascending-cid visit + strict
     improvement ⇒ lowest cid wins exact-double ties, matching the
-    oracle's (cos DESC, cid ASC) row_number."""
+    oracle's (cos DESC, cid ASC) row_number. Like _ivf_assign, the dot
+    stays the HOF form (the measured-fast shape on Spark 4 — see the
+    _ivf_assign NOTE); only the centroid norms are hoisted, as
+    driver-precomputed literals with the same IEEE op order."""
     carr = F.array(
         *[
             F.struct(
                 F.lit(int(cid)).alias("cid"),
                 F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                F.lit(_cent_norm(cv)).alias("nc"),
             )
             for cid, cv in cent_rows
         ]
     )
+    nv = _ivf_nrm(F.col("v"))
 
     def _cos(c):
-        return _ivf_dot(F.col("v"), c["cv"]) / (
-            _ivf_nrm(F.col("v")) * _ivf_nrm(c["cv"])
-        )
+        return _ivf_dot(F.col("v"), c["cv"]) / (nv * c["nc"])
 
     ninf = F.lit(float("-inf"))
     best2 = F.aggregate(
@@ -887,11 +917,19 @@ def neardup_pair_recall(spark, sf) -> dict:
     instead of hiding it). The ground truth is the O(n²) definition, so
     it runs as a broadcast nested-loop over the full vector set — a
     bench-only diagnostic, never a driver query."""
-    e = _ivf_e(spark, sf).where(F.col("vec_id") != 0)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    e = _ivf_e(spark, sf).where(F.col("vec_id") != 0).withColumn(
+        "nrm", _ivf_nrm(F.col("v"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     cos = _ivf_dot(F.col("va"), F.col("vb")) / (
-        _ivf_nrm(F.col("va")) * _ivf_nrm(F.col("vb"))
+        F.col("na") * F.col("nb")
     )
     brute = {
         (r["vec_a"], r["vec_b"])
@@ -980,10 +1018,13 @@ def _q_embedding_neardup_pairs(spark, sf):
     # map-side projection, so recomputing it per join side costs one
     # codegen'd scan each — no shuffle, no refit. Per-vector norms are
     # precomputed ONCE here: sqrt(dot(v,v)) is the same deterministic
-    # fold whether evaluated per vector or per pair, so the cosine bits
-    # are unchanged while the per-pair HOF work drops from 3 folds to 1.
+    # add chain whether evaluated per vector or per pair, so the cosine
+    # bits are unchanged while the per-pair HOF work drops from 3 folds
+    # to 1 (the HOF fold is the measured-fast dot shape on Spark 4 —
+    # see the _ivf_assign NOTE; a flat unrolled chain read 3× slower).
+    cent_rows = _ivf_fit_cached(spark, sf)
     assign = (
-        _ivf_assign2(e, _ivf_fit_cached(spark, sf))
+        _ivf_assign2(e, cent_rows)
         .withColumn("nrm", _ivf_nrm(F.col("v")))
         .localCheckpoint()
     )
@@ -995,7 +1036,9 @@ def _q_embedding_neardup_pairs(spark, sf):
         F.col("cell"), F.col("vec_id").alias("vec_b"),
         F.col("v").alias("vb"), F.col("nrm").alias("nb"),
     )
-    cos = _ivf_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = _ivf_dot(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb")
+    )
     return (
         a.join(b, "cell")
         .where(F.col("vec_a") < F.col("vec_b"))

@@ -348,7 +348,8 @@ def _ctl_encode(path: str) -> int:
 
 
 def _kernel_control_sec(
-    texts: list, procs: int, enc_dir: str | None = None, chunk: int = 2000
+    texts: list, procs: int, enc_dir: str | None = None, chunk: int = 2000,
+    cores: str | None = None,
 ) -> float:
     """Wall seconds for `procs` plain multiprocessing workers to run the
     engine's OWN two hot kernels over the SAME staged corpus, no Spark:
@@ -361,7 +362,38 @@ def _kernel_control_sec(
     work — so a tokenize-only control overstates what this host can
     deliver for the full pipeline. This measures what THIS HOST's shared
     memory bus can deliver for an N→4N fan-out at all; engine efficiency
-    is judged against it."""
+    is judged against it.
+
+    With `cores` the control is pinned to the SAME affinity set as the
+    matching engine probe (parent affinity set before the fork so the
+    pool workers inherit it, restored after): an unpinned Pool(2)
+    control floats across 32 cores — its workers' Arrow-internal
+    threads and the parent dispatch run on hardware a 2-core node
+    wouldn't have — overstating the lo side exactly like an unpinned
+    engine probe, just by a different amount (measured: unpinned
+    control 2→8 ≈ 1.0, pinned ≈ 0.69 in the same window). Pinning both
+    sides makes the engine/control comparison core-for-core."""
+    old_aff = None
+    if cores is not None:
+        coreset: set[int] = set()
+        for part in cores.split(","):
+            if "-" in part:
+                a, b = part.split("-")
+                coreset.update(range(int(a), int(b) + 1))
+            else:
+                coreset.add(int(part))
+        old_aff = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, coreset)
+    try:
+        return _kernel_control_timed(texts, procs, enc_dir, chunk)
+    finally:
+        if old_aff is not None:
+            os.sched_setaffinity(0, old_aff)
+
+
+def _kernel_control_timed(
+    texts: list, procs: int, enc_dir: str | None, chunk: int
+) -> float:
     import multiprocessing as mp
 
     chunks = [texts[i : i + chunk] for i in range(0, len(texts), chunk)]
@@ -430,21 +462,47 @@ def _stage_scaling_corpus(
     return pages_dir, warm_dir, enc_dir, texts
 
 
-def _probe(cpus: int, pages_dir: str, warm_dir: str, n_docs: int) -> dict:
+def _pin_cores(n: int) -> str | None:
+    """CPU-affinity set (taskset syntax) confining an N-parallel probe to
+    exactly N hardware cores: cores 0..N-1 (this VM is 32 flat vCPUs,
+    no SMT pairing, one NUMA node — checked, so any N-subset is
+    equivalent). Pinning makes the efficiency DENOMINATOR real hardware:
+    an unpinned local[2] pyspark probe occupies ~2.5-2.8 cores (JVM task
+    threads + python workers + GC spill over), so its throughput is
+    inflated by hardware a 2-core cluster node would never have, and the
+    measured 2→8 ratio divides by a 4× that was never granted. A pinned
+    probe IS the sandbox's N-core executor. Opt out with
+    SPARK_GRAFT_SCALING_PIN=0 (falls back to nominal-parallelism
+    probes)."""
+    if os.environ.get("SPARK_GRAFT_SCALING_PIN", "1") == "0":
+        return None
+    if shutil.which("taskset") is None or n > (os.cpu_count() or 0):
+        return None
+    return f"0-{n - 1}" if n > 1 else "0"
+
+
+def _probe(
+    cpus: int, pages_dir: str, warm_dir: str, n_docs: int,
+    cores: str | None = None,
+) -> dict:
     """One timed build at `cpus` parallelism in its OWN subprocess/JVM
     (jobs/scaling_probe.py) — process isolation is the sandbox stand-in
     for separate clusters; the warmup build inside the probe absorbs
-    JVM/python-worker startup so the timed region measures the pipeline."""
+    JVM/python-worker startup so the timed region measures the pipeline.
+    With `cores` the whole probe tree (JVM, python workers) is pinned to
+    that affinity set — see _pin_cores."""
+    cmd = [
+        sys.executable,
+        os.path.join(_REPO, "jobs", "scaling_probe.py"),
+        "--cpus", str(cpus),
+        "--pages-dir", pages_dir,
+        "--n-docs", str(n_docs),
+        "--warmup-dir", warm_dir,
+    ]
+    if cores is not None:
+        cmd = ["taskset", "-c", cores] + cmd
     out = subprocess.run(
-        [
-            sys.executable,
-            os.path.join(_REPO, "jobs", "scaling_probe.py"),
-            "--cpus", str(cpus),
-            "--pages-dir", pages_dir,
-            "--n-docs", str(n_docs),
-            "--warmup-dir", warm_dir,
-        ],
-        capture_output=True, text=True, check=True, cwd=_REPO,
+        cmd, capture_output=True, text=True, check=True, cwd=_REPO
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -464,9 +522,18 @@ def _scaling_experiment(
     _kernel_control_sec) shows the single shared memory bus caps 4→16
     at ~0.68 regardless of engine quality; 2→8 is the pair with bus
     headroom. On a real N→4N-executor cluster each executor brings its
-    own bus, python workers and shuffle disks."""
+    own bus, python workers and shuffle disks.
+
+    Probes and controls are CPU-affinity PINNED by default (_pin_cores):
+    each side gets exactly its N cores, like an N-core executor would —
+    unpinned, the local[2] side quietly occupies ~2.5-2.8 cores and the
+    raw ratio divides by a 4× the hardware never granted (measured: the
+    same window read 0.67 unpinned vs 0.74 pinned, with the pinned
+    lo probe at 1.94 occupied cores)."""
     n_hi = n_lo * 4
     ratio = n_hi / n_lo
+    lo_pin, hi_pin = _pin_cores(n_lo), _pin_cores(n_hi)
+    pinned = lo_pin is not None and hi_pin is not None
     pages_dir, warm_dir, enc_dir, texts = _stage_scaling_corpus(n_docs)
     try:
         pair_eff, ctl_eff, rel, lo_dps, hi_dps = [], [], [], [], []
@@ -494,15 +561,15 @@ def _scaling_experiment(
             # Order alternation makes consecutive pairs see opposite
             # drift signs, so the median cancels it.
             if done % 2 == 0:
-                c_lo = _kernel_control_sec(texts, n_lo, enc_dir)
-                lo = _probe(n_lo, pages_dir, warm_dir, n_docs)
-                hi = _probe(n_hi, pages_dir, warm_dir, n_docs)
-                c_hi = _kernel_control_sec(texts, n_hi, enc_dir)
+                c_lo = _kernel_control_sec(texts, n_lo, enc_dir, cores=lo_pin)
+                lo = _probe(n_lo, pages_dir, warm_dir, n_docs, cores=lo_pin)
+                hi = _probe(n_hi, pages_dir, warm_dir, n_docs, cores=hi_pin)
+                c_hi = _kernel_control_sec(texts, n_hi, enc_dir, cores=hi_pin)
             else:
-                c_hi = _kernel_control_sec(texts, n_hi, enc_dir)
-                hi = _probe(n_hi, pages_dir, warm_dir, n_docs)
-                lo = _probe(n_lo, pages_dir, warm_dir, n_docs)
-                c_lo = _kernel_control_sec(texts, n_lo, enc_dir)
+                c_hi = _kernel_control_sec(texts, n_hi, enc_dir, cores=hi_pin)
+                hi = _probe(n_hi, pages_dir, warm_dir, n_docs, cores=hi_pin)
+                lo = _probe(n_lo, pages_dir, warm_dir, n_docs, cores=lo_pin)
+                c_lo = _kernel_control_sec(texts, n_lo, enc_dir, cores=lo_pin)
             e = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
             c = (c_lo / c_hi) / ratio
             all_eff.append(e)
@@ -533,7 +600,14 @@ def _scaling_experiment(
             reason = None
             if e < 0.5 or e > 1.1:
                 reason = "implausible_efficiency"
-            elif c < 0.85 and e < 0.8:
+            elif not pinned and c < 0.85 and e < 0.8:
+                # the low-control redraw calibration (0.85) is for the
+                # UNPINNED regime where the control normally reads
+                # ~0.9-1.0 and a low reading flags a throttled window.
+                # Pinned controls read ~0.65-0.75 as their steady state
+                # (the real per-core bus ceiling), so the rule would
+                # discard healthy pinned draws — there the DiD reading
+                # itself carries the host-ceiling correction.
                 reason = "low_control"
             if reason is not None and retries_left > 0:
                 retries_left -= 1
@@ -589,19 +663,26 @@ def _scaling_experiment(
                 pairs += phase_retry_pairs
         return {
             "method": (
-                "paired alternation with per-pair lo/hi order flip "
+                ("CPU-affinity-PINNED probes (taskset: the N-core side "
+                 "confined to exactly N of the 32 flat vCPUs, control "
+                 "pinned identically — the efficiency denominator is "
+                 "real hardware, not nominal JVM threads); " if pinned
+                 else "")
+                + "paired alternation with per-pair lo/hi order flip "
                 "(cancels monotone turbo/steal drift), fresh JVM per "
                 "probe; per-pair "
                 "matched two-kernel control (tokenize + postings-encode, "
                 "the engine's own kernels via plain multiprocessing — "
                 "difference-in-differences); medians with min-max bands; "
                 "symmetric implausibility band (pair efficiency <0.5 or "
-                ">1.1) and control-quality gate (control <0.85 ⇒ the "
-                "host cannot scale its own engine-free kernels in that "
-                "window, draw uninformative) both discard-and-redraw "
-                "with a bounded budget; every discard reported and the "
-                "unfiltered all-draw medians reported alongside"
+                ">1.1) discards-and-redraws with a bounded budget"
+                + ("" if pinned else "; control-quality gate (control "
+                   "<0.85 ⇒ the host cannot scale its own engine-free "
+                   "kernels in that window, draw uninformative) ditto")
+                + "; every discard reported and the unfiltered all-draw "
+                "medians reported alongside"
             ),
+            "pinned": pinned,
             "n_docs": n_docs,
             "pairs": pairs,
             f"docs_per_sec_{n_lo}": round(_median(lo_dps), 1),
@@ -766,6 +847,7 @@ def main() -> None:
     scaling = result.get("scaling") or {}
     scaling_headline = (
         {
+            "pinned": scaling.get("pinned"),
             "efficiency": scaling.get("efficiency"),
             "efficiency_pairs": scaling.get("efficiency_pairs"),
             "efficiency_per_core": scaling.get("efficiency_per_core"),

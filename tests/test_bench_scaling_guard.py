@@ -37,7 +37,7 @@ class _Env:
                 ["text"] * 4,
             )
 
-        def fake_probe(cpus, pages_dir, warm_dir, n_docs):
+        def fake_probe(cpus, pages_dir, warm_dir, n_docs, cores=None):
             if not self._current:
                 lo_dps, hi_dps = next(attempts)
                 self._current = {2: lo_dps, 8: hi_dps}
@@ -51,7 +51,7 @@ class _Env:
         ctl_attempts = iter(ctl_script or [])
         self._ctl_current: dict[int, float] = {}
 
-        def fake_ctl(texts, procs, enc_dir=None, chunk=2000):
+        def fake_ctl(texts, procs, enc_dir=None, chunk=2000, cores=None):
             if ctl_script is None:
                 return ctl_sec_lo if procs == 2 else ctl_sec_hi
             if not self._ctl_current:
@@ -63,6 +63,11 @@ class _Env:
         monkeypatch.setattr(bench, "_probe", fake_probe)
         monkeypatch.setattr(bench, "_kernel_control_sec", fake_ctl)
         monkeypatch.setattr(bench.shutil, "rmtree", lambda *a, **k: None)
+        # force the UNPINNED regime by default so the guard expectations
+        # are host-independent (whether taskset exists on the test box
+        # must not change which discard rules are active); the pinned
+        # regime has its own dedicated test below.
+        monkeypatch.setattr(bench, "_pin_cores", lambda n: None)
 
 
 def test_clean_pairs_no_retry(monkeypatch):
@@ -185,7 +190,7 @@ def test_per_core_efficiency_uses_occupancy(monkeypatch):
     env = _Env(monkeypatch, pair_script=[(1000, 3000)] * 3)
     orig_probe = bench._probe
 
-    def probe_with_occ(cpus, pages_dir, warm_dir, n_docs):
+    def probe_with_occ(cpus, pages_dir, warm_dir, n_docs, cores=None):
         out = orig_probe(cpus, pages_dir, warm_dir, n_docs)
         out["cores_used"] = 2.8 if cpus == 2 else 9.5
         return out
@@ -210,3 +215,32 @@ def test_high_raw_pair_kept_despite_low_control(monkeypatch):
     assert out["interference_retries"] == 0
     assert out["discarded_pairs"] == []
     assert out["efficiency_pairs"] == [0.8, 0.8, 0.825]
+
+
+def test_pinned_regime_keeps_low_control_pairs(monkeypatch):
+    # PINNED probes/controls: the control's steady state is the real
+    # per-core bus ceiling (~0.65-0.75), not a throttle flag, so the
+    # low-control redraw rule must be inactive — a 0.7-efficiency pair
+    # with a 0.769 control is a KEPT draw, corrected by DiD instead.
+    _Env(
+        monkeypatch,
+        pair_script=[(1000, 2800)] * 3,
+        ctl_script=[(40.0, 13.0)] * 3,
+    )
+    monkeypatch.setattr(bench, "_pin_cores", lambda n: f"0-{n - 1}")
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3, phase_retry_pairs=0)
+    assert out["pinned"] is True
+    assert out["interference_retries"] == 0
+    assert out["discarded_pairs"] == []
+    assert out["efficiency"] == 0.7
+    assert abs(out["control_efficiency"] - 0.769) < 1e-3
+    # DiD reads engine/control = 0.7/0.769 ≈ 0.910
+    assert abs(out["efficiency_vs_control"] - 0.7 / (40.0 / 13.0 / 4)) < 1e-3
+    assert "PINNED" in out["method"]
+
+
+def test_unpinned_regime_flagged_in_payload(monkeypatch):
+    _Env(monkeypatch, pair_script=[(1000, 3200)] * 2)
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=2, phase_retry_pairs=0)
+    assert out["pinned"] is False
+    assert "PINNED" not in out["method"]

@@ -75,3 +75,29 @@ def test_jaccard_hot_shingle_cap(spark, tmp_path):
     # the join; with it, only the true duplicate pair survives at >= 0.5
     assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(n, n + 1)]
     assert abs(pairs[0]["jaccard"] - 1.0) < 1e-9
+
+
+def test_cent_norm_bit_identical_to_sql_fold(spark):
+    """The driver-precomputed centroid norm (_cent_norm, hoisted into the
+    assign folds as a literal) must reproduce the SQL HOF fold
+    _ivf_nrm BIT-for-bit — same IEEE left-to-right add chain and the
+    same correctly-rounded sqrt — on real embedding vectors, so hoisting
+    it cannot move a single cosine bit."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    e = entry_mod._ivf_e(spark, SF_DIR)
+    vecs = [list(r["v"]) for r in e.limit(25).collect()]
+    assert len(vecs) == 25
+    for cv in vecs:
+        sql_nrm = spark.range(1).select(
+            entry_mod._ivf_nrm(
+                F.array(*[F.lit(float(x)) for x in cv])
+            ).alias("n")
+        ).first()["n"]
+        assert struct.pack("<d", entry_mod._cent_norm(cv)) == struct.pack(
+            "<d", sql_nrm
+        )
+        assert math.isfinite(sql_nrm)
