@@ -101,3 +101,63 @@ def test_cent_norm_bit_identical_to_sql_fold(spark):
             "<d", sql_nrm
         )
         assert math.isfinite(sql_nrm)
+
+
+def test_cell_pair_cos_kernel_bit_identical_to_hof_fold(spark):
+    """The Arrow pair-cosine kernel (_cell_pair_cos) must reproduce the
+    SQL HOF fold pipeline it replaced BIT-for-bit on every same-cell
+    pair: elementwise multiply then cumsum replays zip_with+aggregate's
+    exact IEEE op order (see the kernel docstring). Compares the FULL
+    unrounded pair set at sf0.01 (tens of thousands of pairs), not a
+    sample."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    em = entry_mod
+    e = em._ivf_e(spark, SF_DIR)
+    cent_rows = em._ivf_fit_cached(spark, SF_DIR)
+    assign = (
+        em._ivf_assign2(e, cent_rows)
+        .withColumn("nrm", em._ivf_nrm(F.col("v")))
+        .localCheckpoint()
+    )
+    a = assign.select(
+        F.col("cell"), F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = assign.select(
+        F.col("cell"), F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    cos = em._ivf_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    hof = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in (
+            a.join(b, "cell")
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", cos.alias("cos"))
+            .dropDuplicates(["vec_a", "vec_b"])
+            .collect()
+        )
+    }
+    kern = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in (
+            assign.select("cell", "vec_id", "v", "nrm")
+            .groupBy("cell")
+            .applyInPandas(
+                em._cell_pair_cos, schema="vec_a long, vec_b long, cos double"
+            )
+            .dropDuplicates(["vec_a", "vec_b"])
+            .collect()
+        )
+    }
+    assert set(hof) == set(kern)
+    assert len(hof) > 1000
+    mismatches = [
+        k
+        for k in hof
+        if struct.pack("<d", hof[k]) != struct.pack("<d", kern[k])
+    ]
+    assert mismatches == []
