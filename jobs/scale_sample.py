@@ -126,6 +126,11 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query-name substrings; run only matching queries",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -140,8 +145,13 @@ def main() -> None:
             staged = tempfile.mkdtemp(prefix=f"scale_sample_{factor}_", dir=_SCRATCH)
             try:
                 meta = stage(spark, args.sf_dir, factor, staged)
+                only = (
+                    [s for s in args.only.split(",") if s] if args.only else None
+                )
                 per_q: dict[str, float] = {}
                 for name, fn in entry_mod.queries().items():
+                    if only is not None and not any(s in name for s in only):
+                        continue
                     secs = []
                     for _ in range(args.reps):
                         t0 = time.time()
