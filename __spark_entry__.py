@@ -921,22 +921,20 @@ def neardup_pair_recall(spark, sf) -> dict:
     e = _ivf_e(spark, sf).where(F.col("vec_id") != 0).withColumn(
         "nrm", _ivf_nrm(F.col("v"))
     )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = _ivf_dot(F.col("va"), F.col("vb")) / (
-        F.col("na") * F.col("nb")
-    )
+    # ground truth through the SAME bit-exact Arrow kernel as the query,
+    # over ONE all-vectors group (the O(n²) definition; a single task is
+    # the point of a brute-force diagnostic — the crossJoin+HOF form it
+    # replaces spent ~13 s interpreting 2M 64-wide folds per bench run)
     brute = {
         (r["vec_a"], r["vec_b"])
-        for r in a.crossJoin(F.broadcast(b))
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+        for r in e.select(
+            F.lit(0).alias("cell"), "vec_id", "v", "nrm"
+        )
+        .groupBy("cell")
+        .applyInPandas(
+            _cell_pair_cos, schema="vec_a long, vec_b long, cos double"
+        )
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(20)
         .collect()
