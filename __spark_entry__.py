@@ -768,8 +768,13 @@ def _ivf_assign2(e, cent_rows):
         e.select(
             "vec_id",
             "v",
-            F.explode(F.array(best2["c1"], best2["c2"])).alias("cell"),
+            F.posexplode(F.array(best2["c1"], best2["c2"])).alias(
+                "rank", "cell"
+            ),
         )
+        # rank 0 is the best cell — the exact _ivf_assign output, so the
+        # one cached checkpoint serves BOTH the multi-probe near-dup
+        # join and the top-1 IVF scan (rank filter in _ivf_candidates)
         .where(F.col("cell") >= 0)  # degenerate K=1 corpora
     )
 
@@ -853,13 +858,33 @@ def _py_cos(a, b):
     return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
 
 
+def _ivf_assign2_cached(spark, sf):
+    """One checkpointed multi-probe assignment per (session, sf), like
+    the fit cache (VERDICT r3 #3: share the fitted assignment instead of
+    re-deriving it per invocation — the assign projection + checkpoint
+    was ~1.5 s of every call's wall). Columns: vec_id, v, rank (0 = best
+    cell ≡ the _ivf_assign output, 1 = runner-up), cell, nrm."""
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _IVF_ASSIGN2_CACHE:
+        e = _ivf_e(spark, sf)
+        cent_rows = _ivf_fit_cached(spark, sf)
+        _IVF_ASSIGN2_CACHE[key] = (
+            _ivf_assign2(e, cent_rows)
+            .withColumn("nrm", _ivf_nrm(F.col("v")))
+            .localCheckpoint()
+        )
+    return _IVF_ASSIGN2_CACHE[key]
+
+
 def _ivf_candidates(spark, sf, nprobe):
     """The IVF candidate set (cell-pruned scan) at an explicit nprobe,
     with the query vector attached — shared by the oracle-checked top-k
     entry and bench.py's recall/scan-fraction sweep. Probe-cell
     selection is driver-side query planning over the K broadcast
-    centroids (same bit-exact fold as the SQL), so the plan is: scan →
-    map-side assign → literal IN filter → broadcast query vector."""
+    centroids (same bit-exact fold as the SQL); the scan reads the
+    rank-0 rows of the session-cached checkpointed assignment (≡ the
+    map-side top-1 assign), so the plan is: checkpoint scan → rank/IN
+    filter → broadcast query vector."""
     e = _ivf_e(spark, sf)
     cent_rows = _ivf_fit_cached(spark, sf)
     qv = list(
@@ -872,7 +897,9 @@ def _ivf_candidates(spark, sf, nprobe):
     probe_cells = [cid for cid, _ in ranked[:nprobe]]
     q = e.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     return (
-        _ivf_assign(e, cent_rows)
+        _ivf_assign2_cached(spark, sf)
+        .where(F.col("rank") == 0)
+        .select("vec_id", "v", "cell")
         .where(F.col("cell").isin(probe_cells))
         .where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
@@ -1070,25 +1097,13 @@ def _q_embedding_neardup_pairs(spark, sf):
     cells are deduped before top-k. Top-20 pairs by rounded cosine,
     id-tiebroken — ordering is on the ROUNDED value so Spark and the
     DuckDB oracle rank identically."""
-    e = _ivf_e(spark, sf)
-    # cached fit (shared with ann_ivf_topk); per-vector norms are
-    # precomputed ONCE here: sqrt(dot(v,v)) is the same deterministic
-    # add chain whether evaluated per vector or per pair, so the cosine
-    # bits are unchanged while the kernel does one multiply-cumsum per
-    # pair instead of three folds.
-    key = (spark.sparkContext.applicationId, sf)
-    if key not in _IVF_ASSIGN2_CACHE:
-        cent_rows = _ivf_fit_cached(spark, sf)
-        # one checkpointed multi-probe assignment per (session, sf),
-        # like the fit cache above it (VERDICT r3 #3: share the fitted
-        # assignment, don't re-derive it per invocation — the assign
-        # projection + checkpoint was ~1.5 s of every call's wall)
-        _IVF_ASSIGN2_CACHE[key] = (
-            _ivf_assign2(e, cent_rows)
-            .withColumn("nrm", _ivf_nrm(F.col("v")))
-            .localCheckpoint()
-        )
-    assign = _IVF_ASSIGN2_CACHE[key]
+    # session-cached fit + checkpointed assignment (shared with
+    # ann_ivf_topk); per-vector norms are precomputed ONCE there:
+    # sqrt(dot(v,v)) is the same deterministic add chain whether
+    # evaluated per vector or per pair, so the cosine bits are
+    # unchanged while the kernel does one multiply-cumsum per pair
+    # instead of three folds.
+    assign = _ivf_assign2_cached(spark, sf)
     pairs = assign.select("cell", "vec_id", "v", "nrm").groupBy("cell").applyInPandas(
         _cell_pair_cos, schema="vec_a long, vec_b long, cos double"
     )

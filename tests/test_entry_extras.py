@@ -161,3 +161,28 @@ def test_cell_pair_cos_kernel_bit_identical_to_hof_fold(spark):
         if struct.pack("<d", hof[k]) != struct.pack("<d", kern[k])
     ]
     assert mismatches == []
+
+
+def test_assign2_rank0_equals_top1_assign(spark):
+    """ann_ivf_topk scans the rank-0 slice of the cached multi-probe
+    assignment instead of re-running the top-1 fold — valid only if
+    assign2's best cell IS _ivf_assign's cell for every vector (same
+    fold, same ascending-cid strict-improvement tie rule)."""
+    from pyspark.sql import functions as F
+
+    em = entry_mod
+    e = em._ivf_e(spark, SF_DIR)
+    cent_rows = em._ivf_fit_cached(spark, SF_DIR)
+    top1 = {
+        r["vec_id"]: r["cell"]
+        for r in em._ivf_assign(e, cent_rows).select("vec_id", "cell").collect()
+    }
+    rank0 = {
+        r["vec_id"]: r["cell"]
+        for r in em._ivf_assign2(e, cent_rows)
+        .where(F.col("rank") == 0)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert top1 == rank0
+    assert len(top1) > 100
