@@ -779,6 +779,105 @@ def _ivf_assign2(e, cent_rows):
     )
 
 
+_ASSIGN_SCHEMA = "vec_id long, v array<double>, rank int, cell int, nrm double"
+
+
+def _assign_kernel(cent_rows, nprobe):
+    """Arrow e-step kernel factory (mapInPandas): nearest-centroid
+    assignment against the K closure-held centroids, emitting the top
+    ``nprobe`` cells per vector as (vec_id, v, rank, cell, nrm) rows —
+    rank 0 ≡ the _ivf_assign top-1 cell, rank 1 ≡ _ivf_assign2's
+    runner-up, nrm ≡ _ivf_nrm(v).
+
+    Why a kernel: Spark 4 interprets HigherOrderFunction lambdas per
+    element (no codegen), so the HOF fold spec (_ivf_assign/_ivf_assign2)
+    costs ~6 µs per (row, centroid) 64-dim dot — at 20k vectors × K=80
+    the fit's Lloyd e-steps plus the final multi-probe assignment were
+    ~40 s of the 10× scale sample's ann_ivf_topk wall. The same
+    mult-adds vectorize to well under a second, and the closure-held
+    centroid matrix (≤256×64 doubles = 128 KB) is exactly what a real
+    IVF engine broadcasts, so the plan stays a zero-shuffle map.
+
+    BIT-identity with the fold spec (pinned by
+    test_assign_kernel_bit_identical_to_hof on the full corpus):
+    - dot: ``V*C[j]`` is the same per-element IEEE multiply as
+      zip_with, and ``np.cumsum(axis=1)`` is a strict left-to-right
+      prefix add chain with 0.0+p0 == p0 — the _cell_pair_cos recipe
+      (numpy's plain sum would pairwise-split and move bits).
+    - norms: nv replays _ivf_nrm the same way (np.sqrt is the
+      correctly-rounded IEEE sqrt); nc are the SAME _cent_norm Python
+      floats the fold embeds as literals.
+    - cosine: one multiply (nv·nc) then one divide, the fold's op order.
+    - ties: the fold visits cids ASCENDING and replaces on a STRICT
+      improvement (with demotion of best → second), which is top-nprobe
+      of a stable descending sort — ``np.argsort(-cosm, kind="stable")``
+      picks the lowest index (= lowest cid; cent_rows is cid-sorted) on
+      exact-double ties at every rank.
+    NaN/±inf cosines would compare differently (Spark SQL orders NaN
+    largest, numpy argsort pushes NaN first under negation) but are
+    unreachable: embeddings and fitted centroids have nonzero finite
+    norms, and 64-dim unit-scale dots cannot overflow."""
+    import numpy as np
+
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int32)
+    C = np.asarray([cv for _, cv in cent_rows], dtype=np.float64)
+    nc = np.array([_cent_norm(cv) for _, cv in cent_rows], dtype=np.float64)
+    K = len(cids)
+    r = min(nprobe, K)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.asarray(pdf["v"].to_list(), dtype=np.float64)
+            P = V * V
+            np.cumsum(P, axis=1, out=P)
+            nv = np.sqrt(P[:, -1])
+            cosm = np.empty((n, K), dtype=np.float64)
+            for j in range(K):
+                Pj = V * C[j]
+                np.cumsum(Pj, axis=1, out=Pj)
+                cosm[:, j] = Pj[:, -1] / (nv * nc[j])
+            order = np.argsort(-cosm, axis=1, kind="stable")
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "v": pdf["v"].to_numpy(),
+                            "rank": np.full(n, rank, dtype=np.int32),
+                            "cell": cids[order[:, rank]],
+                            "nrm": nv,
+                        }
+                    )
+                    for rank in range(r)
+                ],
+                ignore_index=True,
+            )
+
+    return fn
+
+
+def _ivf_assign_kernel(e, cent_rows):
+    """Production top-1 e-step: the Arrow kernel at nprobe=1 (≡
+    _ivf_assign's output plus the nrm column; equivalence pinned in
+    tests). Used inside every Lloyd iteration of _ivf_fit."""
+    return e.mapInPandas(_assign_kernel(cent_rows, 1), _ASSIGN_SCHEMA)
+
+
+def _ivf_assign2_kernel(e, cent_rows):
+    """Production multi-probe assignment: the Arrow kernel at
+    nprobe=_NEARDUP_NPROBE (≡ _ivf_assign2 + _ivf_nrm; equivalence
+    pinned bit-for-bit in tests). Feeds the per-(session, sf)
+    checkpointed assignment every IVF-family query shares."""
+    return e.mapInPandas(
+        _assign_kernel(cent_rows, _NEARDUP_NPROBE), _ASSIGN_SCHEMA
+    )
+
+
 def _ivf_fit(e):
     """k-means coarse quantizer (Lloyd, _IVF_ITERS unrolled iterations,
     integer-scaled deterministic means) → final centroid rows
@@ -800,7 +899,7 @@ def _ivf_fit(e):
     ]
     cent_rows.sort(key=lambda t: t[0])
     for _ in range(_IVF_ITERS):
-        assign = _ivf_assign(e, cent_rows)
+        assign = _ivf_assign_kernel(e, cent_rows)
         dims = assign.select("cell", F.posexplode("v").alias("dim", "x"))
         m = dims.groupBy("cell", "dim").agg(
             (
@@ -868,11 +967,9 @@ def _ivf_assign2_cached(spark, sf):
     if key not in _IVF_ASSIGN2_CACHE:
         e = _ivf_e(spark, sf)
         cent_rows = _ivf_fit_cached(spark, sf)
-        _IVF_ASSIGN2_CACHE[key] = (
-            _ivf_assign2(e, cent_rows)
-            .withColumn("nrm", _ivf_nrm(F.col("v")))
-            .localCheckpoint()
-        )
+        _IVF_ASSIGN2_CACHE[key] = _ivf_assign2_kernel(
+            e, cent_rows
+        ).localCheckpoint()
     return _IVF_ASSIGN2_CACHE[key]
 
 

@@ -163,6 +163,75 @@ def test_cell_pair_cos_kernel_bit_identical_to_hof_fold(spark):
     assert mismatches == []
 
 
+def test_assign_kernel_bit_identical_to_hof(spark):
+    """The Arrow e-step kernel (_assign_kernel) must reproduce the HOF
+    fold spec EXACTLY on the full sf0.01 corpus with the real fitted
+    centroids: same (rank, cell) per vector as _ivf_assign2 and
+    bit-identical nrm vs _ivf_nrm (the nrm feeds _cell_pair_cos
+    divisions, so a single moved bit would shift near-dup cosines)."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    em = entry_mod
+    e = em._ivf_e(spark, SF_DIR)
+    cent_rows = em._ivf_fit_cached(spark, SF_DIR)
+    hof = {
+        (r["vec_id"], r["rank"]): r["cell"]
+        for r in em._ivf_assign2(e, cent_rows).collect()
+    }
+    hof_nrm = {
+        r["vec_id"]: r["n"]
+        for r in e.select("vec_id", em._ivf_nrm(F.col("v")).alias("n")).collect()
+    }
+    kern_rows = em._ivf_assign2_kernel(e, cent_rows).collect()
+    kern = {(r["vec_id"], r["rank"]): r["cell"] for r in kern_rows}
+    assert kern == hof
+    assert len(kern) == 1000  # 500 vectors × 2 probe cells
+    nrm_mismatch = [
+        r["vec_id"]
+        for r in kern_rows
+        if struct.pack("<d", r["nrm"])
+        != struct.pack("<d", hof_nrm[r["vec_id"]])
+    ]
+    assert nrm_mismatch == []
+
+
+def test_assign_kernel_noncontiguous_cids_and_large_k(spark):
+    """Kernel ≡ HOF must also hold off the fitted-centroid happy path:
+    K=37 fabricated centroids with NON-CONTIGUOUS cids (3i+1 — Lloyd
+    drops empty cells, so production cid gaps are real) exercises the
+    cids[argsort] indirection at a K the sf0.01 fit never reaches, for
+    both the top-1 and the multi-probe kernel."""
+    from pyspark.sql import functions as F
+
+    em = entry_mod
+    e = em._ivf_e(spark, SF_DIR)
+    vecs = [list(r["v"]) for r in e.orderBy("vec_id").limit(37).collect()]
+    cent_rows = [(3 * i + 1, cv) for i, cv in enumerate(vecs)]
+    hof2 = {
+        (r["vec_id"], r["rank"]): r["cell"]
+        for r in em._ivf_assign2(e, cent_rows).collect()
+    }
+    kern2 = {
+        (r["vec_id"], r["rank"]): r["cell"]
+        for r in em._ivf_assign2_kernel(e, cent_rows).collect()
+    }
+    assert kern2 == hof2
+    hof1 = {
+        r["vec_id"]: r["cell"]
+        for r in em._ivf_assign(e, cent_rows).collect()
+    }
+    kern1 = {
+        r["vec_id"]: r["cell"]
+        for r in em._ivf_assign_kernel(e, cent_rows)
+        .where(F.col("rank") == 0)
+        .collect()
+    }
+    assert kern1 == hof1
+    assert len(kern1) == 500
+
+
 def test_assign2_rank0_equals_top1_assign(spark):
     """ann_ivf_topk scans the rank-0 slice of the cached multi-probe
     assignment instead of re-running the top-1 fold — valid only if

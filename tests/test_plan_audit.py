@@ -83,6 +83,21 @@ def test_ivf_assign_is_map_side(spark):
     assert "Window" not in p, p
 
 
+def test_ivf_assign_kernel_is_map_side_arrow(spark):
+    """The production Arrow e-step must keep the zero-shuffle shape and
+    run as MapInPandas (Arrow-batched), never row-at-a-time
+    BatchEvalPython."""
+    import __spark_entry__ as entry
+
+    e = entry._ivf_e(spark, SF_DIR)
+    cent_rows = entry._ivf_fit_cached(spark, SF_DIR)
+    p = _plan(entry._ivf_assign2_kernel(e, cent_rows))
+    assert "Exchange" not in p, p
+    assert "Window" not in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "MapInPandas" in p or "PythonMapInArrow" in p, p
+
+
 def test_ivf_fit_shared_across_queries(spark):
     """ann_ivf_topk and embedding_neardup_pairs must reuse one fitted
     quantizer per (session, sf) instead of refitting k-means inline."""
