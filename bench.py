@@ -282,13 +282,13 @@ def _serve_clustered(cpus: int, n_docs: int) -> dict:
 # --------------------------------------------------------------------------
 
 def _ctl_tokenize(texts: list) -> int:
-    """Matched-kernel control worker: the engine's OWN Arrow tokenize
-    kernel over a text chunk, no Spark. Module-level so it pickles."""
-    import pandas as pd
+    """Matched-kernel control worker: the engine's OWN tokenize kernel
+    over a text chunk, no Spark. Module-level so it pickles. Uses the
+    COLUMNAR kernel — the one the build's docs phase actually runs —
+    so the control's memory-bandwidth profile stays matched."""
+    from searchengine_spark.text.udfs import _tokenize_batch_columnar
 
-    from searchengine_spark.text.udfs import _tokenize_batch
-
-    return len(_tokenize_batch(pd.Series(texts)))
+    return len(_tokenize_batch_columnar(texts)[1])
 
 
 _CTL_BUCKET_DOCS = 1 << 14  # matches jobs/scaling_probe.py --bucket-docs

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
-from ..text.udfs import extract_text, tokenize_doc
+from ..text.udfs import extract_text, tokenize_doc, tokenized_docs_arrow
 from .varbyte import (
     encode_positions_flat,
     encode_sorted,
@@ -720,16 +720,27 @@ class IndexBuilder:
                 num_partitions=self._task_count,
             )
             phases["id_stats"] = time.time() - pt
-            tk = with_ids.withColumn("tk", tokenize_doc(F.col("text")))
-            docs = tk.select(
-                "doc_id",
-                "url",
-                "warc_ts",
-                "lang",
-                F.col("tk.dl").alias("dl"),
-                F.col("tk.ld").alias("ld"),
-                F.col("tk.terms").alias("terms"),
-            )
+            if os.environ.get("SPARK_GRAFT_TOKENIZE", "") == "pandas":
+                # A/B reference path: the pandas_udf kernel (identical
+                # output, pinned by test; ~2.5× slower end to end)
+                tk = with_ids.withColumn("tk", tokenize_doc(F.col("text")))
+                docs = tk.select(
+                    "doc_id",
+                    "url",
+                    "warc_ts",
+                    "lang",
+                    F.col("tk.dl").alias("dl"),
+                    F.col("tk.ld").alias("ld"),
+                    F.col("tk.terms").alias("terms"),
+                )
+            else:
+                # columnar mapInArrow kernel: no per-event Python, no
+                # pandas→Arrow struct conversion; partition-preserving so
+                # the zero-shuffle fast path above still holds
+                docs = tokenized_docs_arrow(
+                    with_ids.select("doc_id", "url", "warc_ts", "lang", "text"),
+                    passthrough=("doc_id", "url", "warc_ts", "lang"),
+                )
             dt0 = time.time()
             # row count + corpus meta ride the WRITE job itself
             # (df.observe): no separate readback job — the small-job

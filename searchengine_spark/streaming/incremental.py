@@ -36,7 +36,7 @@ from ..index.build import (
     build_postings_local,
     ensure_layout,
 )
-from ..text.udfs import tokenize_doc
+from ..text.udfs import tokenized_docs_arrow
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -79,14 +79,9 @@ class StreamingIndexBuilder:
             order_col="url",
             start=start,
         )
-        docs = with_ids.withColumn("tk", tokenize_doc(F.col("text"))).select(
-            "doc_id",
-            "url",
-            "warc_ts",
-            "lang",
-            F.col("tk.dl").alias("dl"),
-            F.col("tk.ld").alias("ld"),
-            F.col("tk.terms").alias("terms"),
+        docs = tokenized_docs_arrow(
+            with_ids.select("doc_id", "url", "warc_ts", "lang", "text"),
+            passthrough=("doc_id", "url", "warc_ts", "lang"),
         ).persist()
         n = docs.count()
         # density net (same closed form as IndexBuilder.build, ADVICE r3):

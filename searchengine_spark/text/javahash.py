@@ -98,6 +98,20 @@ def hashmap_iteration_order_sim(keys: list, hash_fn) -> list:
 _STR_HASH_MEMO: dict[str, int] = {}
 
 
+def spread_string_hash(s: str) -> int:
+    """Memoized ``_spread(String.hashCode)`` — the per-key quantity every
+    HashMap-order replay needs. Shared memo with
+    :func:`hashmap_iteration_order` (same values, same bound)."""
+    memo = _STR_HASH_MEMO
+    if len(memo) > 1_000_000:  # bound worker memory on open vocabularies
+        memo.clear()
+    h = memo.get(s)
+    if h is None:
+        h = _spread(java_string_hash(s))
+        memo[s] = h
+    return h
+
+
 def hashmap_iteration_order_ints(keys_in_insertion_order: list[int]) -> list[int]:
     """Iteration order of ``new HashMap<Integer, ·>()`` after inserting
     the given distinct int keys in order. ``Integer.hashCode`` is the

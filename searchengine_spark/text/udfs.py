@@ -18,12 +18,17 @@ Layers:
 from __future__ import annotations
 
 import html as _html
+import itertools
+import math
 import re
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .javahash import _final_capacity, spread_string_hash
 from .porter import StemCache
 from .tokenizer import doc_ld, java_ws_split, token_events, tokenize_events
 
@@ -114,6 +119,227 @@ def _tokenize_batch(texts: pd.Series) -> pd.DataFrame:
 @F.pandas_udf(TOKENIZED_SCHEMA)
 def tokenize_doc(texts: pd.Series) -> pd.DataFrame:
     return _tokenize_batch(texts)
+
+
+# --------------------------------------------------------------------------
+# Columnar tokenize: the Arrow-native build kernel
+# --------------------------------------------------------------------------
+#
+# Same semantics as _tokenize_batch (pinned by
+# tests/test_text_pipeline.py::test_tokenize_columnar_identical_to_pandas_kernel
+# on fuzz corpora, ld compared BITWISE), but the per-token-event Python
+# loop, the per-doc dicts, and the list-of-dict struct materialization are
+# replaced by factorize + numpy segment ops + direct pyarrow ListArray
+# construction. The pandas kernel spent ~2/3 of the docs phase on Python
+# object churn (profiled: 9.6 s/100k docs building {"term","tf","positions"}
+# dicts alone); this kernel emits the identical nested Arrow layout with
+# zero per-event Python.
+#
+# Bit-identity notes (the same traps CLAUDE.md pins elsewhere):
+#   - Ld fold: Java sums (1+ln tf)² in HashMap-replay order; here each
+#     doc's fold runs as a RANK-LEVEL loop (level j adds every doc's j-th
+#     replayed weight via one vectorized gather-add), which replays the
+#     sequential left fold from 0.0 exactly. np.add.reduceat/np.sum are
+#     PAIRWISE and would flip low bits — verified and avoided.
+#   - (1+math.log(tf))² comes from a per-distinct-tf table built with
+#     math.log (np.log is a different SIMD polynomial; same trap as the
+#     kernel-rounding gotcha), squared as w*w exactly like doc_ld.
+
+_TOKEN_EVENTS_MEMO: dict[str, tuple] = {}
+
+
+def _tokenize_batch_columnar(texts) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """texts: sequence of str|None → (terms ListArray, dl int32, ld float64).
+
+    The returned ``terms`` is the same array<struct<term,tf,positions>>
+    layout TOKENIZED_SCHEMA declares, built directly as Arrow buffers.
+    """
+    n = len(texts)
+    empty_terms_type = pa.list_(
+        pa.struct(
+            [
+                ("term", pa.string()),
+                ("tf", pa.int32()),
+                ("positions", pa.list_(pa.int32())),
+            ]
+        )
+    )
+    if n == 0:
+        return (
+            pa.array([], type=empty_terms_type),
+            np.zeros(0, dtype=np.int32),
+            np.zeros(0, dtype=np.float64),
+        )
+    raw_lists = [java_ws_split(t) if t else [] for t in texts]
+    tok_counts = np.fromiter((len(r) for r in raw_lists), dtype=np.int64, count=n)
+    flat_raw = list(itertools.chain.from_iterable(raw_lists))
+
+    # per-UNIQUE-raw-token events (memoized across batches — pure function
+    # of the raw token, exactly like the pandas kernel's per-batch memo)
+    memo = _TOKEN_EVENTS_MEMO
+    if len(memo) > 1_000_000:  # bound worker memory on open vocabularies
+        memo.clear()
+    stems = StemCache()
+    term_tid: dict[str, int] = {}
+    term_list: list[str] = []
+    if flat_raw:
+        codes, uniques = pd.factorize(np.asarray(flat_raw, dtype=object))
+        u_counts = np.empty(len(uniques), dtype=np.int64)
+        u_tid_flat: list[int] = []
+        u_adv_flat: list[int] = []
+        for ui, raw in enumerate(uniques):
+            ev = memo.get(raw)
+            if ev is None:
+                ev = token_events(raw, stems.stem)
+                memo[raw] = ev
+            u_counts[ui] = len(ev)
+            for term, adv in ev:
+                tid = term_tid.get(term)
+                if tid is None:
+                    tid = len(term_list)
+                    term_tid[term] = tid
+                    term_list.append(term)
+                u_tid_flat.append(tid)
+                u_adv_flat.append(adv)
+        u_off = np.concatenate(([0], np.cumsum(u_counts)))
+        u_tid = np.asarray(u_tid_flat, dtype=np.int64)
+        u_adv = np.asarray(u_adv_flat, dtype=np.int64)
+        # expand events per token occurrence (order preserved)
+        occ_cnt = u_counts[codes]
+        E = int(occ_cnt.sum())
+        seg_off = np.concatenate(([0], np.cumsum(occ_cnt)))
+        ev_flat = np.repeat(u_off[:-1][codes] - seg_off[:-1], occ_cnt) + np.arange(E)
+        ev_tid = u_tid[ev_flat]
+        ev_adv = u_adv[ev_flat]
+        tok_doc = np.repeat(np.arange(n, dtype=np.int64), tok_counts)
+        ev_doc = np.repeat(tok_doc, occ_cnt)
+    else:
+        E = 0
+        ev_tid = ev_adv = ev_doc = np.zeros(0, dtype=np.int64)
+
+    # positions: event i sits at 1 + Σ advs of previous events in its doc
+    # (the pandas kernel records pos BEFORE advancing by adv)
+    prev = np.cumsum(ev_adv) - ev_adv
+    dl = np.bincount(ev_doc, minlength=n).astype(np.int64)
+    doc_ev_off = np.concatenate(([0], np.cumsum(dl)))
+    doc_base = np.zeros(n, dtype=np.int64)
+    nz = dl > 0
+    doc_base[nz] = prev[doc_ev_off[:-1][nz]]
+    pos = 1 + prev - np.repeat(doc_base, dl)
+
+    # group events by (doc, term): stable, so within-group position order
+    # is occurrence order, and each group's first element is its first
+    # occurrence — the dict-insertion order the pandas kernel produced
+    order1 = np.lexsort((ev_tid, ev_doc))
+    s_doc = ev_doc[order1]
+    s_tid = ev_tid[order1]
+    s_pos = pos[order1]
+    if E:
+        newg = np.concatenate(
+            ([True], (s_doc[1:] != s_doc[:-1]) | (s_tid[1:] != s_tid[:-1]))
+        )
+        g_start = np.flatnonzero(newg)
+    else:
+        g_start = np.zeros(0, dtype=np.int64)
+    G = len(g_start)
+    g_cnt = np.diff(np.append(g_start, E))
+    g_doc = s_doc[g_start] if G else np.zeros(0, dtype=np.int64)
+    g_tid = s_tid[g_start] if G else np.zeros(0, dtype=np.int64)
+    g_first = order1[g_start] if G else np.zeros(0, dtype=np.int64)
+    # groups within each doc ordered by first occurrence (insertion order)
+    order2 = np.lexsort((g_first, g_doc))
+    g2_doc = g_doc[order2]
+    g2_tid = g_tid[order2]
+    g2_cnt = g_cnt[order2]
+    g2_start = g_start[order2]
+    # flatten positions in (doc, insertion-ordered group, occurrence) order
+    p_off = np.concatenate(([0], np.cumsum(g2_cnt)))
+    gather = np.repeat(g2_start - p_off[:-1], g2_cnt) + np.arange(E)
+    final_pos = s_pos[gather]
+    doc_g = np.bincount(g2_doc, minlength=n).astype(np.int64)
+    t_off = np.concatenate(([0], np.cumsum(doc_g)))
+
+    # ---- Ld: HashMap-order replay + rank-level sequential fold ----
+    if G:
+        tid_hash = np.fromiter(
+            (spread_string_hash(t) for t in term_list),
+            dtype=np.int64,
+            count=len(term_list),
+        )
+        masks = np.empty(n, dtype=np.int64)
+        for c in np.unique(doc_g):
+            masks[doc_g == c] = _final_capacity(int(c)) - 1
+        bucket = tid_hash[g2_tid] & np.repeat(masks, doc_g)
+        order3 = np.lexsort((bucket, g2_doc))  # stable ⇒ replay order per doc
+        s3_doc = g2_doc[order3]
+        max_tf = int(g2_cnt.max())
+        w_tab = np.zeros(max_tf + 1, dtype=np.float64)
+        for tf in range(1, max_tf + 1):
+            w = 1.0 + math.log(tf)
+            w_tab[tf] = w * w
+        w2 = w_tab[g2_cnt[order3]]
+        rank3 = np.arange(G) - np.repeat(t_off[:-1], doc_g)
+        orderL = np.lexsort((s3_doc, rank3))  # level-major
+        lw = w2[orderL]
+        ldoc = s3_doc[orderL]
+        lrank = rank3[orderL]
+        total = np.zeros(n, dtype=np.float64)
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(lrank[1:] != lrank[:-1]) + 1, [G])
+        )
+        for li in range(len(bounds) - 1):
+            s, e = bounds[li], bounds[li + 1]
+            # one doc at most once per level ⇒ gather-add is exact and
+            # level order == per-doc sequential fold order
+            total[ldoc[s:e]] = total[ldoc[s:e]] + lw[s:e]
+        ld = np.sqrt(total)
+    else:
+        ld = np.zeros(n, dtype=np.float64)
+
+    # ---- Arrow assembly (no per-event Python objects) ----
+    term_arr = pa.array(term_list, type=pa.string())
+    g_term = term_arr.take(pa.array(g2_tid, type=pa.int64()))
+    pos_list = pa.ListArray.from_arrays(
+        pa.array(p_off, type=pa.int32()),
+        pa.array(final_pos, type=pa.int32()),
+    )
+    struct = pa.StructArray.from_arrays(
+        [g_term, pa.array(g2_cnt, type=pa.int32()), pos_list],
+        ["term", "tf", "positions"],
+    )
+    terms = pa.ListArray.from_arrays(pa.array(t_off, type=pa.int32()), struct)
+    return terms, dl.astype(np.int32), ld
+
+
+def tokenized_docs_arrow(df, passthrough: tuple[str, ...] | None = None):
+    """``df`` (must carry a string ``text`` column) → docs frame
+    ``passthrough… + (dl, ld, terms)`` via ``mapInArrow`` with the
+    columnar kernel. Partition-preserving (narrow), so the zero-shuffle
+    build fast path is untouched; passthrough columns cross the boundary
+    as unmodified Arrow buffers."""
+    if passthrough is None:
+        passthrough = tuple(c for c in df.columns if c != "text")
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [in_fields[c] for c in passthrough]
+        + [
+            T.StructField("dl", T.IntegerType()),
+            T.StructField("ld", T.DoubleType()),
+            T.StructField("terms", TOKENIZED_SCHEMA["terms"].dataType),
+        ]
+    )
+    cols = list(passthrough)
+
+    def run(batches):
+        for b in batches:
+            terms, dl, ld = _tokenize_batch_columnar(b.column("text").to_pylist())
+            yield pa.RecordBatch.from_arrays(
+                [b.column(c) for c in cols]
+                + [pa.array(dl, type=pa.int32()), pa.array(ld), terms],
+                cols + ["dl", "ld", "terms"],
+            )
+
+    return df.mapInArrow(run, out_schema)
 
 
 # --------------------------------------------------------------------------
