@@ -295,38 +295,27 @@ _CTL_BUCKET_DOCS = 1 << 14  # matches jobs/scaling_probe.py --bucket-docs
 
 
 def _ctl_stage_encode_chunk(args) -> int:
-    """Staging worker: tokenize + explode one text chunk into the flat
-    posting-rows Arrow table `_encode_partition` consumes, saved as a
-    feather file (mmap-read by the encode-control workers)."""
+    """Staging worker: tokenize one text chunk into the NESTED docs-shaped
+    Arrow table `_encode_partition_nested` consumes (doc_id, dl, ld,
+    terms) — the same doc-granular layout the engine's postings phase now
+    reads — saved as a feather file (mmap-read by the encode-control
+    workers)."""
     ci, texts, doc_off, enc_dir = args
-    import pandas as pd
+    import numpy as np
     import pyarrow as pa
     import pyarrow.feather as feather
 
-    from searchengine_spark.text.udfs import _tokenize_batch
+    from searchengine_spark.text.udfs import _tokenize_batch_columnar
 
-    tk = _tokenize_batch(pd.Series(texts))
-    terms_col, buckets, doc_ids, tfs, dls, lds, poss = [], [], [], [], [], [], []
-    for i, (terms, dl, ld) in enumerate(zip(tk["terms"], tk["dl"], tk["ld"])):
-        did = doc_off + i
-        b = did // _CTL_BUCKET_DOCS
-        for t in terms:
-            terms_col.append(t["term"])
-            buckets.append(b)
-            doc_ids.append(did)
-            tfs.append(t["tf"])
-            dls.append(dl)
-            lds.append(ld)
-            poss.append(t["positions"])
+    terms, dl, ld = _tokenize_batch_columnar(texts)
     tbl = pa.table(
         {
-            "term": pa.array(terms_col, type=pa.string()),
-            "bucket": pa.array(buckets, type=pa.int32()),
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "tf": pa.array(tfs, type=pa.int64()),
-            "dl": pa.array(dls, type=pa.int64()),
-            "ld": pa.array(lds, type=pa.float64()),
-            "positions": pa.array(poss, type=pa.list_(pa.int32())),
+            "doc_id": pa.array(
+                np.arange(doc_off, doc_off + len(texts), dtype=np.int64)
+            ),
+            "dl": pa.array(dl, type=pa.int32()),
+            "ld": pa.array(ld, type=pa.float64()),
+            "terms": terms,
         }
     )
     feather.write_feather(tbl, os.path.join(enc_dir, f"c{ci:03d}.feather"))
@@ -335,14 +324,17 @@ def _ctl_stage_encode_chunk(args) -> int:
 
 def _ctl_encode(path: str) -> int:
     """Encode-control worker: the engine's OWN postings-encode kernel
-    (`index/build._encode_partition`: dictionary-encode + lexsort +
-    ListArray gather + varbyte) over one staged posting-rows chunk."""
+    (`index/build._encode_partition_nested`: in-kernel explode +
+    dictionary-encode + lexsort + ListArray gather + varbyte) over one
+    staged nested docs chunk."""
     import pyarrow.feather as feather
 
-    from searchengine_spark.index.build import _encode_partition
+    from searchengine_spark.index.build import _encode_partition_nested
 
     n = 0
-    for rb in _encode_partition(feather.read_table(path).to_batches()):
+    for rb in _encode_partition_nested(
+        feather.read_table(path).to_batches(), _CTL_BUCKET_DOCS
+    ):
         n += rb.num_rows
     return n
 
@@ -353,8 +345,8 @@ def _kernel_control_sec(
 ) -> float:
     """Wall seconds for `procs` plain multiprocessing workers to run the
     engine's OWN two hot kernels over the SAME staged corpus, no Spark:
-    (1) the Arrow tokenize kernel over the raw texts, then (2) the
-    postings-encode kernel over the pre-staged exploded posting rows.
+    (1) the columnar tokenize kernel over the raw texts, then (2) the
+    nested postings-encode kernel over pre-staged docs-shaped chunks.
     Together these mirror the build's docs/postings phase mix; measured
     separately the encode kernel's no-Spark 2→8 ceiling (median 0.74,
     pairs 0.71/0.74/0.88 on 15.2M posting rows) sits BELOW the tokenize

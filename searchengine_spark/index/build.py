@@ -346,10 +346,7 @@ def _encode_partition(batches):
     if not batch_list:
         return
     tbl = pa.Table.from_batches(batch_list)
-    n = tbl.num_rows
-    dictenc = pc.dictionary_encode(tbl.column("term").combine_chunks())
-    codes = dictenc.indices.to_numpy(zero_copy_only=False)
-    vocab = dictenc.dictionary
+    term_col = tbl.column("term").combine_chunks()
     bucket = tbl.column("bucket").combine_chunks().to_numpy(zero_copy_only=False)
     doc_id = (
         tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
@@ -365,6 +362,60 @@ def _encode_partition(batches):
     )
     ld = tbl.column("ld").combine_chunks().to_numpy(zero_copy_only=False)
     pos = tbl.column("positions").combine_chunks()
+    yield from _encode_arrays(term_col, bucket, doc_id, tf, dl, ld, pos)
+
+
+def _encode_partition_nested(batches, bucket_docs: int):
+    """mapInArrow kernel over NESTED docs rows (doc_id, dl, ld, terms):
+    the in-kernel analogue of JVM explode + _encode_partition, byte-
+    identical output (pinned by test). Exploding inside the kernel keeps
+    the JVM→Python Arrow stream at doc granularity — doc_id/dl/ld cross
+    the boundary once per DOC instead of once per posting row, and the
+    JVM never materializes the exploded copy. That halves the postings
+    phase's memory-bus traffic, which is what capped its 2→8-core
+    scaling (measured 0.60 exploded; the matched encode control without
+    the exploded IPC reads ~0.8)."""
+    import pyarrow as pa
+
+    batch_list = [b for b in batches if b.num_rows]
+    if not batch_list:
+        return
+    tbl = pa.Table.from_batches(batch_list)
+    doc_id = (
+        tbl.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    dl_doc = (
+        tbl.column("dl").combine_chunks().to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    ld_doc = tbl.column("ld").combine_chunks().to_numpy(zero_copy_only=False)
+    terms = tbl.column("terms").combine_chunks()
+    counts = np.asarray(terms.value_lengths())
+    structs = terms.flatten()
+    term_col = structs.field("term")
+    tf = structs.field("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = structs.field("positions")
+    ex_doc = np.repeat(doc_id, counts)
+    ex_dl = np.repeat(dl_doc, counts)
+    ex_ld = np.repeat(ld_doc, counts)
+    ex_bucket = ex_doc // bucket_docs
+    yield from _encode_arrays(term_col, ex_bucket, ex_doc, tf, ex_dl, ex_ld, pos)
+
+
+def _encode_arrays(term_col, bucket, doc_id, tf, dl, ld, pos):
+    """Shared vectorized encode core: flat per-posting arrays (term as a
+    pyarrow string array, positions as a pyarrow list array, the rest
+    numpy) → encoded (term, bucket) block batches."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(doc_id)
+    if n == 0:
+        return
+    dictenc = pc.dictionary_encode(term_col)
+    codes = dictenc.indices.to_numpy(zero_copy_only=False)
+    vocab = dictenc.dictionary
 
     # sort by LEXICOGRAPHIC term (not dictionary code = first-appearance
     # order): the output file is then truly (term, bucket, doc)-sorted, so
@@ -508,22 +559,36 @@ def build_postings_local(
     indexes use — the round-1 groupBy path's (term,bucket) exchange moves
     the entire tokenized corpus through the network at 10^12 docs; this
     moves nothing (the only cross-node data motion left in the whole
-    build is the id-assignment range shuffle of raw pages)."""
-    dt = docs_tokenized.select(
-        "doc_id",
-        "dl",
-        "ld",
-        F.explode("terms").alias("t"),
-    ).select(
-        F.col("t.term").alias("term"),
-        (F.col("doc_id") / F.lit(bucket_docs)).cast("int").alias("bucket"),
-        "doc_id",
-        F.col("t.tf").alias("tf"),
-        "dl",
-        "ld",
-        F.col("t.positions").alias("positions"),
+    build is the id-assignment range shuffle of raw pages).
+
+    The explode happens INSIDE the Arrow kernel (`SPARK_GRAFT_ENCODE=
+    exploded` restores the JVM-explode A/B path): the JVM→Python stream
+    stays doc-granular, so doc_id/dl/ld cross once per doc, not once per
+    posting — measurably better memory-bus behavior at high core counts
+    (the phase's 2→8 scaling limiter)."""
+    if os.environ.get("SPARK_GRAFT_ENCODE", "") == "exploded":
+        dt = docs_tokenized.select(
+            "doc_id",
+            "dl",
+            "ld",
+            F.explode("terms").alias("t"),
+        ).select(
+            F.col("t.term").alias("term"),
+            (F.col("doc_id") / F.lit(bucket_docs)).cast("int").alias("bucket"),
+            "doc_id",
+            F.col("t.tf").alias("tf"),
+            "dl",
+            "ld",
+            F.col("t.positions").alias("positions"),
+        )
+        return dt.mapInArrow(_encode_partition, schema=POSTINGS_SCHEMA_STR)
+
+    def run(batches):
+        yield from _encode_partition_nested(batches, bucket_docs)
+
+    return docs_tokenized.select("doc_id", "dl", "ld", "terms").mapInArrow(
+        run, schema=POSTINGS_SCHEMA_STR
     )
-    return dt.mapInArrow(_encode_partition, schema=POSTINGS_SCHEMA_STR)
 
 
 # --------------------------------------------------------------------------

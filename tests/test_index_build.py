@@ -345,3 +345,31 @@ def test_resume_skips_committed_chunks(spark, small_corpus_pdf, built_index):
         if payload.get("stage") == "postings":
             assert payload["postings_per_sec"] > 0
             assert payload["lineage"]["bucket_docs"] == 64
+
+
+def test_nested_encode_identical_to_exploded(spark, small_corpus_pdf, monkeypatch):
+    """The in-kernel-explode postings path (`_encode_partition_nested`,
+    the default) must produce BYTE-identical blocks to the JVM-explode
+    path (`SPARK_GRAFT_ENCODE=exploded`) — same rows, same varbyte
+    blobs, same stats."""
+    from searchengine_spark.index.build import (
+        assign_dense_ids,
+        build_postings_local,
+    )
+    from searchengine_spark.text.udfs import tokenized_docs_arrow
+
+    pages = spark.createDataFrame(small_corpus_pdf)
+    with_ids = assign_dense_ids(
+        pages.select("url", "warc_ts", "lang", "text"), order_col="url", start=0
+    )
+    docs = tokenized_docs_arrow(
+        with_ids.select("doc_id", "url", "warc_ts", "lang", "text"),
+        passthrough=("doc_id", "url", "warc_ts", "lang"),
+    ).localCheckpoint()
+    monkeypatch.setenv("SPARK_GRAFT_ENCODE", "exploded")
+    a = build_postings_local(docs, 64).orderBy("term", "bucket", "doc_first").collect()
+    monkeypatch.delenv("SPARK_GRAFT_ENCODE")
+    b = build_postings_local(docs, 64).orderBy("term", "bucket", "doc_first").collect()
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert ra == rb
