@@ -213,20 +213,19 @@ def _q_boolean_andnot(spark, sf):
 
 def _q_phrase(spark, sf):
     """Adjacent-position phrase 'batch batch' via token positions.
-    (Measured: unlike `_shingles_of`, materializing the token array
-    first does NOT pay here — the predicate context evaluates the array
-    once per row already, and the extra array-row materialization is a
-    net loss, 2.6 s inline vs 3.3 s materialized at sf0.1.)"""
+
+    Compiled to ONE JVM regex instead of the higher-order-function
+    adjacency scan (Spark 4 interprets HOF lambdas per element — the
+    transform+exists shape cost ~2 s at sf0.1, the regex ~0.3 s):
+    tokens are maximal runs of non-space chars under the oracle's
+    `split(' ') drop empties` semantics, so "adjacent tokens both =
+    'batch'" ⟺ the lowercased text matches `batch +batch` with no
+    non-space char immediately before or after (lookarounds). Multiple
+    separating spaces collapse to the same adjacency on both sides.
+    The REAL positional phrase operator (J4) is `query/boolean.py`;
+    this is the SQL-mirrorable analytics query."""
     docs = _docs(spark, sf)
-    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-    hit = F.exists(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
-            lambda i: (F.element_at(toks, i) == "batch")
-            & (F.element_at(toks, i + 1) == "batch"),
-        ),
-        lambda x: x,
-    )
+    hit = F.lower("text").rlike("(?<![^ ])batch +batch(?![^ ])")
     return docs.select("doc_id").where(hit).orderBy("doc_id")
 
 

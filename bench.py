@@ -723,7 +723,35 @@ def main() -> None:
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
+    # scaling FIRST: the rest of the bench saturates all 32 vCPUs for
+    # ~20 min, after which the hypervisor throttles sustained load and
+    # the 8-core probe side reads ~35 % slow while the 2-core side is
+    # barely touched (measured: identical code 0.85-0.87 on a cool host,
+    # 0.58-0.68 immediately after a full-bench run; the per-phase
+    # breakdowns show ONLY the hi-side walls inflate). Probing before
+    # the sustained-load sections measures the scaling of the engine,
+    # not the host's credit state.
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        # 200k docs: the fixed per-build tail (~3-4 s of id-stats/lexicon
+        # job overhead) amortizes the way it would on any at-scale corpus
+        # — at 100k it still eats ~5 s of the 8-core side and drags
+        # measured efficiency ~0.15 below the same pipeline at 200k
+        try:
+            scaling = _scaling_experiment(
+                n_lo=int(os.environ.get("SPARK_GRAFT_SCALING_N", "2")),
+                n_docs=int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "200000")),
+                pairs=int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "3")),
+                phase_retry_pairs=int(
+                    os.environ.get("SPARK_GRAFT_SCALING_RETRY_PAIRS", "2")
+                ),
+            )
+        except Exception as exc:  # scaling evidence must never kill the bench
+            scaling = {"error": f"{type(exc).__name__}: {exc}"}
+
     result = _build_and_query(cpus, n_docs, run_queries=True, build_reps=3)
+    if scaling is not None:
+        result["scaling"] = scaling
     serve_clustered = _serve_clustered(cpus, n_docs)
 
     # analytics suite at the given sf dir (fresh session reused from above
@@ -784,23 +812,6 @@ def main() -> None:
             lsh_recall = {"error": f"{type(exc).__name__}: {exc}"}
     finally:
         spark.stop()
-
-    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        # 200k docs: the fixed per-build tail (~3-4 s of id-stats/lexicon
-        # job overhead) amortizes the way it would on any at-scale corpus
-        # — at 100k it still eats ~5 s of the 8-core side and drags
-        # measured efficiency ~0.15 below the same pipeline at 200k
-        try:
-            result["scaling"] = _scaling_experiment(
-                n_lo=int(os.environ.get("SPARK_GRAFT_SCALING_N", "2")),
-                n_docs=int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "200000")),
-                pairs=int(os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "3")),
-                phase_retry_pairs=int(
-                    os.environ.get("SPARK_GRAFT_SCALING_RETRY_PAIRS", "2")
-                ),
-            )
-        except Exception as exc:  # the one JSON line must still print
-            result["scaling"] = {"error": f"{type(exc).__name__}: {exc}"}
 
     detail = {
         "build_sec": round(result["build_sec"], 2),
