@@ -531,7 +531,11 @@ def _scaling_experiment(
         pair_eff, ctl_eff, rel, lo_dps, hi_dps = [], [], [], [], []
         pair_eff_core, phase_lo, phase_hi = [], [], []
         lo_cores, hi_cores = [], []
-        retries_left, retried, discarded = 4, 0, []
+        # retry budget 6: grant/starve host phases are common enough that
+        # a 3-pair experiment regularly burns 2-3 redraws waiting out a
+        # starved window (each redraw is ~2.5 min, so the budget bounds
+        # the experiment at roughly +15 min worst case)
+        retries_left, retried, discarded = 6, 0, []
         all_eff, all_rel = [], []  # every draw incl. discarded (reported)
         done, phase_retried = 0, 0
         while done < pairs:
@@ -592,6 +596,26 @@ def _scaling_experiment(
             reason = None
             if e < 0.5 or e > 1.1:
                 reason = "implausible_efficiency"
+            elif pinned and e < 0.8 and (
+                (lo.get("cores_used") or n_lo) < 0.85 * n_lo
+                or (hi.get("cores_used") or n_hi) < 0.85 * n_hi
+            ):
+                # HOST-STARVATION gate: taskset confines each probe to
+                # exactly N cores, and this embarrassingly-parallel build
+                # occupies 0.90-0.97·N whenever the hypervisor delivers
+                # them (healthy draws: 1.91-1.96/2 and 7.2-7.4/8). A probe
+                # tree averaging <0.85·N occupied cores ran in a window
+                # where the host WITHHELD the pinned hardware (measured:
+                # cores_used 6.15/8 at 7,056 docs/s vs 7.28/8 at 10,161
+                # docs/s for the identical command minutes apart) — the
+                # efficiency denominator (4× cores) is then fiction, and
+                # only in the UNDER-estimating direction, so like the
+                # throttle gate a low reading is uninformative while a
+                # ≥0.8 reading from the same window is a kept lower bound.
+                reason = (
+                    "host_starved_cores:"
+                    f"lo={lo.get('cores_used')},hi={hi.get('cores_used')}"
+                )
             elif not pinned and c < 0.85 and e < 0.8:
                 # the low-control redraw calibration (0.85) is for the
                 # UNPINNED regime where the control normally reads
@@ -606,6 +630,12 @@ def _scaling_experiment(
                 retried += 1
                 discarded.append(
                     {"e": round(e, 3), "c": round(c, 3), "reason": reason}
+                )
+                # host grant/starve phases flip on minute timescales
+                # (measured above); a short pause makes the redraw sample
+                # a different window instead of the same one
+                time.sleep(
+                    float(os.environ.get("SPARK_GRAFT_SCALING_RETRY_PAUSE", "25"))
                 )
                 continue
             lo_dps.append(lo["docs_per_sec"])

@@ -28,6 +28,7 @@ class _Env:
         self.calls = []
         attempts = iter(pair_script)
         self._current: dict[int, float] = {}
+        monkeypatch.setenv("SPARK_GRAFT_SCALING_RETRY_PAUSE", "0")
 
         def fake_stage(n_docs, files=64):
             return (
@@ -108,15 +109,55 @@ def test_interference_pair_discarded_and_rerun(monkeypatch):
 
 
 def test_retry_budget_bounds_and_keeps_bad_pair(monkeypatch):
-    # every pair is interfered: after the 4-retry budget is exhausted the
+    # every pair is interfered: after the 6-retry budget is exhausted the
     # remaining bad pairs are KEPT (reported honestly, never an infinite loop)
-    _Env(monkeypatch, pair_script=[(1000, 1000)] * 7)
+    _Env(monkeypatch, pair_script=[(1000, 1000)] * 9)
     out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3, phase_retry_pairs=0)
-    assert out["interference_retries"] == 4
-    assert [d["e"] for d in out["discarded_pairs"]] == [0.25] * 4
+    assert out["interference_retries"] == 6
+    assert [d["e"] for d in out["discarded_pairs"]] == [0.25] * 6
     # 3 kept pairs, all at the (real, if implausible) 0.25
     assert out["efficiency_pairs"] == [0.25, 0.25, 0.25]
     assert out["efficiency"] == 0.25
+
+
+def test_host_starved_pair_redrawn_when_pinned(monkeypatch):
+    # pinned regime: a pair whose hi probe tree occupied <0.85·N cores ran
+    # in a window where the hypervisor withheld the pinned hardware — the
+    # low reading is uninformative and redrawn; the redraw (healthy
+    # occupancy) is kept
+    _Env(monkeypatch, pair_script=[(1000, 2400), (1000, 3400)])
+    monkeypatch.setattr(bench, "_pin_cores", lambda n: f"0-{n-1}")
+    orig_probe = bench._probe
+
+    def probe_with_occ(cpus, pages_dir, warm_dir, n_docs, cores=None):
+        r = orig_probe(cpus, pages_dir, warm_dir, n_docs, cores=cores)
+        r["cores_used"] = 6.1 if (cpus == 8 and r["docs_per_sec"] == 2400) else (
+            7.3 if cpus == 8 else 1.93
+        )
+        return r
+
+    monkeypatch.setattr(bench, "_probe", probe_with_occ)
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=1, phase_retry_pairs=0)
+    assert out["interference_retries"] == 1
+    assert out["discarded_pairs"][0]["reason"].startswith("host_starved_cores")
+    assert out["efficiency_pairs"] == [0.85]
+
+
+def test_host_starved_pair_kept_when_clears_bar(monkeypatch):
+    # a ≥0.8 reading from a starved window is a LOWER BOUND and is kept
+    _Env(monkeypatch, pair_script=[(1000, 3300)])
+    monkeypatch.setattr(bench, "_pin_cores", lambda n: f"0-{n-1}")
+    orig_probe = bench._probe
+
+    def probe_with_occ(cpus, pages_dir, warm_dir, n_docs, cores=None):
+        r = orig_probe(cpus, pages_dir, warm_dir, n_docs, cores=cores)
+        r["cores_used"] = 6.0 if cpus == 8 else 1.93
+        return r
+
+    monkeypatch.setattr(bench, "_probe", probe_with_occ)
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=1, phase_retry_pairs=0)
+    assert out["interference_retries"] == 0
+    assert out["efficiency_pairs"] == [0.825]
 
 
 def test_superlinear_pair_discarded(monkeypatch):
