@@ -243,28 +243,38 @@ def _shingles_of(docs):
     frame (SQL-mirrorable) — shared by the whole-corpus queries and the
     filtered-survivor stage of `pipeline_clean_corpus`.
 
-    The token array is materialized as its OWN projection before the
-    per-position lambda touches it: inlining `filter(split(lower(text)))`
-    into every `element_at` makes Spark re-evaluate the split+filter per
-    element access — O(len²) work per document, measured 7× slower at
-    sf0.1 (8.5 s → 1.1 s for the shingle set)."""
-    toks = F.col("_toks")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-        ),
-    )
-    return (
-        docs.select(
-            "doc_id",
-            F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias(
-                "_toks"
-            ),
-        )
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .filter(F.col("shingle") != "")
-        .distinct()
+    Arrow-batched mapInPandas kernel (was: transform/element_at HOF over
+    a materialized token array — Spark 4 interprets HOF lambdas per
+    element, ~2.2M interpreted concat_ws calls per corpus pass at sf0.1
+    — plus a global `.distinct()` EXCHANGE of every (doc_id, shingle)
+    row). The kernel dedups per doc with a set, which is equivalent to
+    the global distinct because doc_id is part of the key, so the
+    shuffle disappears from every consumer's plan. Emits FULL 3-grams
+    only — exactly the oracle's `WHERE t1/t2/t3 IS NOT NULL` semantics;
+    a <3-token doc contributes nothing. (The old HOF's behavior there
+    was undefined anyway: under Spark 4 ANSI `element_at` past the end
+    THROWS, and the synthetic corpora never contain such docs — the
+    driver gate pins both sides equal on real data.)"""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids, shs = [], []
+            for did, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                toks = (
+                    [w for w in text.lower().split(" ") if w] if text else []
+                )
+                n = len(toks)
+                if n < 3:
+                    continue
+                cand = {" ".join(toks[i : i + 3]) for i in range(n - 2)}
+                ids.extend([did] * len(cand))
+                shs.extend(cand)
+            yield pd.DataFrame({"doc_id": ids, "shingle": shs})
+
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, f"doc_id {id_type}, shingle string"
     )
 
 
