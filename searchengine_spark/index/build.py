@@ -391,7 +391,10 @@ def _encode_partition_nested(batches, bucket_docs: int):
     )
     ld_doc = tbl.column("ld").combine_chunks().to_numpy(zero_copy_only=False)
     terms = tbl.column("terms").combine_chunks()
-    counts = np.asarray(terms.value_lengths())
+    # a NULL terms entry contributes no postings: flatten() skips it, so
+    # its repeat count must be 0 (the JVM-explode path dropped such rows
+    # silently; our own docs writer never emits them)
+    counts = np.asarray(terms.value_lengths().fill_null(0))
     structs = terms.flatten()
     term_col = structs.field("term")
     tf = structs.field("tf").to_numpy(zero_copy_only=False).astype(np.int64)
