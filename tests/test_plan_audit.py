@@ -98,6 +98,52 @@ def test_ivf_assign_kernel_is_map_side_arrow(spark):
     assert "MapInPandas" in p or "PythonMapInArrow" in p, p
 
 
+def test_committed_plan_dumps_are_current():
+    """Committed BENCH/plans artifacts must describe the LIVE engine
+    (VERDICT r4 #1: a stale ann_ivf_topk dump showed the pre-kernel
+    interpreted-HOF centroid fold the code no longer produces).
+
+    - every dump file corresponds to a live queries() entry (or a
+      declared auxiliary sub-plan from bench.AUX_PLAN_DUMPS);
+    - the IVF query dump carries NO HOF aggregate() inside a Filter
+      (the centroid fold is gone — assignment is a checkpointed Arrow
+      kernel, visible as `Scan ExistingRDD` at query time);
+    - the auxiliary assignment dump shows the Arrow kernel itself
+      (MapInPandas / PythonMapInArrow) with zero Exchange.
+    """
+    import bench
+
+    plans_dir = os.path.join(os.path.dirname(__file__), "..", "BENCH", "plans")
+    if not os.path.isdir(plans_dir):
+        pytest.skip("no committed plan dumps")
+    live = set(_queries()) | set(bench.AUX_PLAN_DUMPS)
+    stale = [
+        f for f in os.listdir(plans_dir)
+        if f.endswith(".txt") and f[:-4] not in live
+    ]
+    assert not stale, f"plan dumps for queries that no longer exist: {stale}"
+
+    ivf = os.path.join(plans_dir, "ann_ivf_topk.txt")
+    if os.path.exists(ivf):
+        with open(ivf) as f:
+            txt = f.read()
+        bad = [
+            ln for ln in txt.splitlines()
+            if "Filter" in ln and "aggregate(" in ln
+        ]
+        assert not bad, f"HOF fold back inside a Filter: {bad[0][:200]}"
+        assert "Scan ExistingRDD" in txt, (
+            "IVF query no longer reads the checkpointed Arrow assignment"
+        )
+
+    aux = os.path.join(plans_dir, "ann_ivf_assign_kernel.txt")
+    assert os.path.exists(aux), "assignment-kernel plan dump missing"
+    with open(aux) as f:
+        atxt = f.read()
+    assert "MapInPandas" in atxt or "PythonMapInArrow" in atxt, atxt[:500]
+    assert "Exchange" not in atxt, atxt[:500]
+
+
 def test_ivf_fit_shared_across_queries(spark):
     """ann_ivf_topk and embedding_neardup_pairs must reuse one fitted
     quantizer per (session, sf) instead of refitting k-means inline."""
