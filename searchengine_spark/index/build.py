@@ -397,8 +397,21 @@ def _encode_partition_nested(batches, bucket_docs: int):
     counts = np.asarray(terms.value_lengths().fill_null(0))
     structs = terms.flatten()
     term_col = structs.field("term")
-    tf = structs.field("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+    tf_arr = structs.field("tf")
     pos = structs.field("positions")
+    # NULL rows are guarded above, but a null FIELD inside a terms entry
+    # would corrupt silently: a null tf converts to NaN and astype(int64)
+    # yields garbage; a null positions sublist desyncs the varbyte carve
+    # against the tf run-lengths. The engine's own writer never emits
+    # these, but the kernel also ingests externally staged feather files
+    # (bench controls) — fail loudly instead.
+    if tf_arr.null_count or term_col.null_count or pos.null_count:
+        raise ValueError(
+            "nested encode kernel: null struct field inside a terms entry "
+            f"(term={term_col.null_count}, tf={tf_arr.null_count}, "
+            f"positions={pos.null_count} nulls)"
+        )
+    tf = tf_arr.to_numpy(zero_copy_only=False).astype(np.int64)
     ex_doc = np.repeat(doc_id, counts)
     ex_dl = np.repeat(dl_doc, counts)
     ex_ld = np.repeat(ld_doc, counts)

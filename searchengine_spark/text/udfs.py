@@ -161,6 +161,14 @@ def _tokenize_batch_columnar(texts) -> tuple[pa.Array, np.ndarray, np.ndarray]:
 
     The returned ``terms`` is the same array<struct<term,tf,positions>>
     layout TOKENIZED_SCHEMA declares, built directly as Arrow buffers.
+
+    Per-batch bound: list offsets are int32 (matching Spark's non-large
+    Arrow list layout), so one input batch may carry at most 2^31-1
+    token EVENTS (positions) total. Spark's default
+    maxRecordsPerBatch=10000 would need ~215k tokens/doc average to hit
+    it; failure is a loud pyarrow overflow at conversion, never silent
+    corruption. Feeding this kernel outside Spark with pathological
+    batches: chunk to < 2^31 events yourself.
     """
     n = len(texts)
     empty_terms_type = pa.list_(

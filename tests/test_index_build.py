@@ -347,6 +347,41 @@ def test_resume_skips_committed_chunks(spark, small_corpus_pdf, built_index):
             assert payload["lineage"]["bucket_docs"] == 64
 
 
+def test_nested_encode_rejects_null_struct_fields():
+    """A null tf would convert to NaN→garbage int64 and a null positions
+    sublist would desync the varbyte carve — both silently. The kernel
+    must fail loudly instead (ADVICE r4: it also ingests externally
+    staged feather files, not just our own writer's output)."""
+    import pyarrow as pa
+
+    from searchengine_spark.index.build import _encode_partition_nested
+
+    def mk(tf=2, positions=(0, 3)):
+        ttype = pa.list_(
+            pa.struct(
+                [
+                    ("term", pa.string()),
+                    ("tf", pa.int64()),
+                    ("positions", pa.list_(pa.int64())),
+                ]
+            )
+        )
+        terms = [[{"term": "alpha", "tf": tf, "positions": positions}]]
+        return pa.RecordBatch.from_pydict(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "dl": pa.array([2], pa.int64()),
+                "ld": pa.array([1.0], pa.float64()),
+                "terms": pa.array(terms, ttype),
+            }
+        )
+
+    assert sum(b.num_rows for b in _encode_partition_nested(iter([mk()]), 64)) > 0
+    for bad in (mk(tf=None), mk(positions=None)):
+        with pytest.raises(ValueError, match="null struct field"):
+            list(_encode_partition_nested(iter([bad]), 64))
+
+
 def test_nested_encode_identical_to_exploded(spark, small_corpus_pdf, monkeypatch):
     """The in-kernel-explode postings path (`_encode_partition_nested`,
     the default) must produce BYTE-identical blocks to the JVM-explode
