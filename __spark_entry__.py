@@ -1432,20 +1432,33 @@ def _q_quality_scores(spark, sf):
 
 _MEDIA_DOCS = 64          # doc_id < 64 → 64 media rows at sf ≥ 0.01
 _MEDIA_W, _MEDIA_H = 16, 12   # PPM image geometry (W*H*3 = 576 bytes)
-_MEDIA_SAMPLES = 256      # WAV sample count
+# BMP geometry chosen so the row stride NEEDS padding (18*3 = 54 → 56):
+# a stride bug in either codec half shifts bytes and breaks the oracle
+_MEDIA_BMP_W, _MEDIA_BMP_H = 18, 10
+_MEDIA_SAMPLES = 256      # WAV sample count (per channel)
 
 
 def _q_media_features(spark, sf):
     """Multimodal feature statistics, ORACLE-CHECKED (VERDICT r3 missing
-    #2 — the one extension pillar that was pytest-only): each doc gets a
-    deterministic media blob derived from its doc_id — even ids a REAL
-    binary P6 PPM image (pixel byte i = (doc_id*7 + i) % 256), odd ids a
-    REAL RIFF 16-bit PCM WAV (sample i = (doc_id*31 + i*17) % 65536 −
-    32768) — built and then DECODED by the real pure-numpy codecs in
-    ml/multimodal.py inside one Arrow-batched mapInPandas kernel. The
-    emitted integer statistics come from the DECODED arrays, so any
-    codec round-trip defect (header math, offsets, endianness, channel
-    order) breaks the match against the DuckDB closed-form oracle.
+    #2; r4 next-steps #6 widened it to EVERY codec branch): each doc gets
+    a deterministic media blob derived from its doc_id, rotating by
+    doc_id % 4 through all four real pure-numpy codecs in
+    ml/multimodal.py —
+
+      0: P6 PPM        pixel byte i   = (doc_id*7 + i) % 256
+      1: WAV 8 kHz mono  sample i     = (doc_id*31 + i*17) % 65536 − 32768
+      2: 24-bit BMP    pixel byte i   = (doc_id*11 + i) % 256
+         (18-px-wide rows ⇒ 4-byte stride padding is exercised, plus the
+         bottom-up flip and BGR↔RGB swap round-trip)
+      3: WAV 16 kHz STEREO  flat j    = (doc_id*13 + (j//2)*29 + (j%2)*7)
+                                         % 65536 − 32768
+         (channel interleave round-trip is exercised)
+
+    — built and then DECODED inside one Arrow-batched mapInPandas
+    kernel. The emitted integer statistics come from the DECODED arrays,
+    so any codec round-trip defect (header math, offsets, stride,
+    endianness, channel order) breaks the match against the DuckDB
+    closed-form oracle.
 
     At scale this is the training-pipeline shape: media as opaque binary
     columns + typed metadata, decode/feature-extract as a map-side
@@ -1453,13 +1466,16 @@ def _q_media_features(spark, sf):
     import pandas as pd
 
     w, h, ns = _MEDIA_W, _MEDIA_H, _MEDIA_SAMPLES
+    bw, bh = _MEDIA_BMP_W, _MEDIA_BMP_H
 
     def kernel(batches):
         import numpy as np
 
         from searchengine_spark.ml.multimodal import (
+            decode_bmp,
             decode_ppm,
             decode_wav,
+            encode_bmp,
             encode_ppm,
             encode_wav,
         )
@@ -1470,20 +1486,36 @@ def _q_media_features(spark, sf):
                 "val_sum": [], "val_min": [], "val_max": [],
             }
             for doc_id in pdf["doc_id"].tolist():
-                if doc_id % 2 == 0:
+                branch = doc_id % 4
+                if branch == 0:
                     raw = (doc_id * 7 + np.arange(w * h * 3)) % 256
-                    blob = encode_ppm(
-                        raw.astype(np.uint8).reshape(h, w, 3)
-                    )
+                    blob = encode_ppm(raw.astype(np.uint8).reshape(h, w, 3))
                     vals = decode_ppm(blob).astype(np.int64).ravel()
-                    kind = "image"
-                else:
+                    kind = "image/ppm"
+                elif branch == 2:
+                    raw = (doc_id * 11 + np.arange(bw * bh * 3)) % 256
+                    blob = encode_bmp(raw.astype(np.uint8).reshape(bh, bw, 3))
+                    vals = decode_bmp(blob).astype(np.int64).ravel()
+                    kind = "image/bmp"
+                elif branch == 1:
                     raw = (doc_id * 31 + np.arange(ns) * 17) % 65536 - 32768
                     blob = encode_wav(raw.astype(np.int16), rate=8000)
                     dec, rate = decode_wav(blob)
-                    assert rate == 8000
+                    assert rate == 8000 and dec.shape[1] == 1
                     vals = dec.astype(np.int64).ravel()
-                    kind = "audio"
+                    kind = "audio/wav8k"
+                else:
+                    j = np.arange(ns * 2)
+                    raw = (doc_id * 13 + (j // 2) * 29 + (j % 2) * 7) % 65536 - 32768
+                    blob = encode_wav(
+                        raw.astype(np.int16).reshape(ns, 2), rate=16000
+                    )
+                    dec, rate = decode_wav(blob)
+                    assert rate == 16000 and dec.shape[1] == 2
+                    # reshape(-1, 2).ravel() restores the interleaved flat
+                    # order, so the closed form indexes by flat j directly
+                    vals = dec.astype(np.int64).ravel()
+                    kind = "audio/wav16k"
                 out["doc_id"].append(doc_id)
                 out["kind"].append(kind)
                 out["n_values"].append(int(vals.size))
@@ -1978,28 +2010,47 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             ORDER BY doc_id""",
         # closed-form mirror of the media kernel: the Spark side encodes
-        # REAL PPM/WAV blobs from the same doc_id-derived byte formulas
-        # and computes stats from the DECODED arrays; the oracle computes
-        # the formulas directly — equality proves the codec round-trip
+        # REAL PPM/BMP/WAV blobs from the same doc_id-derived byte
+        # formulas and computes stats from the DECODED arrays; the oracle
+        # computes the formulas directly — equality proves every codec
+        # round-trip branch (PPM header, BMP stride/flip/BGR, mono 8 kHz
+        # and interleaved stereo 16 kHz PCM)
         "media_features": f"""
             WITH d AS (SELECT doc_id FROM documents WHERE doc_id < {_MEDIA_DOCS}),
-            img AS (
-              SELECT d.doc_id, 'image' AS kind,
+            ppm AS (
+              SELECT d.doc_id, 'image/ppm' AS kind,
                      count(*) AS n_values,
                      CAST(sum((d.doc_id * 7 + g.i) % 256) AS BIGINT) AS val_sum,
                      CAST(min((d.doc_id * 7 + g.i) % 256) AS BIGINT) AS val_min,
                      CAST(max((d.doc_id * 7 + g.i) % 256) AS BIGINT) AS val_max
               FROM d, generate_series(0, {_MEDIA_W * _MEDIA_H * 3 - 1}) AS g(i)
-              WHERE d.doc_id % 2 = 0 GROUP BY d.doc_id),
-            aud AS (
-              SELECT d.doc_id, 'audio' AS kind,
+              WHERE d.doc_id % 4 = 0 GROUP BY d.doc_id),
+            bmp AS (
+              SELECT d.doc_id, 'image/bmp' AS kind,
+                     count(*) AS n_values,
+                     CAST(sum((d.doc_id * 11 + g.i) % 256) AS BIGINT) AS val_sum,
+                     CAST(min((d.doc_id * 11 + g.i) % 256) AS BIGINT) AS val_min,
+                     CAST(max((d.doc_id * 11 + g.i) % 256) AS BIGINT) AS val_max
+              FROM d, generate_series(0, {_MEDIA_BMP_W * _MEDIA_BMP_H * 3 - 1}) AS g(i)
+              WHERE d.doc_id % 4 = 2 GROUP BY d.doc_id),
+            wav8 AS (
+              SELECT d.doc_id, 'audio/wav8k' AS kind,
                      count(*) AS n_values,
                      CAST(sum((d.doc_id * 31 + g.i * 17) % 65536 - 32768) AS BIGINT) AS val_sum,
                      CAST(min((d.doc_id * 31 + g.i * 17) % 65536 - 32768) AS BIGINT) AS val_min,
                      CAST(max((d.doc_id * 31 + g.i * 17) % 65536 - 32768) AS BIGINT) AS val_max
               FROM d, generate_series(0, {_MEDIA_SAMPLES - 1}) AS g(i)
-              WHERE d.doc_id % 2 = 1 GROUP BY d.doc_id)
+              WHERE d.doc_id % 4 = 1 GROUP BY d.doc_id),
+            wav16 AS (
+              SELECT d.doc_id, 'audio/wav16k' AS kind,
+                     count(*) AS n_values,
+                     CAST(sum((d.doc_id * 13 + (g.i // 2) * 29 + (g.i % 2) * 7) % 65536 - 32768) AS BIGINT) AS val_sum,
+                     CAST(min((d.doc_id * 13 + (g.i // 2) * 29 + (g.i % 2) * 7) % 65536 - 32768) AS BIGINT) AS val_min,
+                     CAST(max((d.doc_id * 13 + (g.i // 2) * 29 + (g.i % 2) * 7) % 65536 - 32768) AS BIGINT) AS val_max
+              FROM d, generate_series(0, {_MEDIA_SAMPLES * 2 - 1}) AS g(i)
+              WHERE d.doc_id % 4 = 3 GROUP BY d.doc_id)
             SELECT doc_id, kind, n_values, val_sum, val_min, val_max
-            FROM (SELECT * FROM img UNION ALL SELECT * FROM aud)
+            FROM (SELECT * FROM ppm UNION ALL SELECT * FROM bmp
+                  UNION ALL SELECT * FROM wav8 UNION ALL SELECT * FROM wav16)
             ORDER BY doc_id""",
     }
