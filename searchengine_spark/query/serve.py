@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import threading
 from collections import Counter
 
 import numpy as np
@@ -53,6 +54,12 @@ class LocalIndexReader:
         # buckets they touch
         self._cache_cap = cache_blocks
         self._block_cache: dict[tuple[str, int], tuple] = {}
+        # mutation lock for the block cache: lookups stay lock-free (dict
+        # reads are atomic under the GIL; a stale miss just refetches),
+        # but the evict-victim scan iterates the dict and a concurrent
+        # insert would raise "dict changed size during iteration", and
+        # two threads picking the same victim would KeyError on pop
+        self._cache_lock = threading.Lock()
         # lazily-built RAM structures (what a real serving shard keeps
         # hot): full lexicon dict, per-term block-max stats, and — below
         # the size gate — the doc-metadata arrays for winner lookups
@@ -368,14 +375,16 @@ class LocalIndexReader:
                     np.concatenate([p[2] for p in parts])[order],
                 )
             out[key] = entry
-            if len(self._block_cache) >= self._cache_cap:
-                evict = next(
-                    (k for k in self._block_cache if k not in request_keys), None
-                )
-                if evict is None:
-                    continue  # request bigger than the cache: serve uncached
-                self._block_cache.pop(evict)
-            self._block_cache[key] = entry
+            with self._cache_lock:
+                if len(self._block_cache) >= self._cache_cap:
+                    evict = next(
+                        (k for k in self._block_cache if k not in request_keys),
+                        None,
+                    )
+                    if evict is None:
+                        continue  # request bigger than the cache: serve uncached
+                    self._block_cache.pop(evict, None)
+                self._block_cache[key] = entry
         return out
 
     def _decoded_terms(

@@ -114,6 +114,38 @@ def test_serve_tiny_cache_oversized_query_exact(built_index, oracle_index):
     assert len(tiny._block_cache) <= 2
 
 
+def test_serve_concurrent_clients_exact(built_index, oracle_index):
+    """Concurrent clients against ONE shared reader with a tiny block
+    cache (maximum eviction contention) must all get the sequential
+    answer. Guards the cache mutation lock in LocalIndexReader: without
+    it, the evict-victim scan raced inserts (RuntimeError: dict changed
+    size) and two threads popping the same victim raised KeyError."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tiny = LocalIndexReader(built_index, cache_blocks=3)
+    qs = [q for q in QUERIES if q]
+    expected = {
+        q: [(r["doc_id"], r["score"]) for r in tiny.ranked_topk(q, k=20, scorer="bm25")]
+        for q in qs
+    }
+
+    def client(seed: int) -> None:
+        # each client walks the query set at a different phase so cache
+        # contents churn across threads
+        for i in range(len(qs) * 4):
+            q = qs[(seed + i) % len(qs)]
+            got = [
+                (r["doc_id"], r["score"])
+                for r in tiny.ranked_topk(q, k=20, scorer="bm25")
+            ]
+            assert got == expected[q], q
+
+    with ThreadPoolExecutor(8) as ex:
+        for f in [ex.submit(client, s) for s in range(8)]:
+            f.result()  # re-raises any assertion / race error
+    assert len(tiny._block_cache) <= 3
+
+
 def test_serve_prunes_on_clustered_corpus(spark, tmp_path):
     """On a topic-clustered corpus the serving tier must skip a substantial
     fraction of buckets (blobs never read) and stay exact — the numpy port
