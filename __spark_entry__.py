@@ -243,39 +243,23 @@ def _shingles_of(docs):
     frame (SQL-mirrorable) — shared by the whole-corpus queries and the
     filtered-survivor stage of `pipeline_clean_corpus`.
 
-    Arrow-batched mapInPandas kernel (was: transform/element_at HOF over
-    a materialized token array — Spark 4 interprets HOF lambdas per
-    element, ~2.2M interpreted concat_ws calls per corpus pass at sf0.1
-    — plus a global `.distinct()` EXCHANGE of every (doc_id, shingle)
-    row). The kernel dedups per doc with a set, which is equivalent to
-    the global distinct because doc_id is part of the key, so the
-    shuffle disappears from every consumer's plan. Emits FULL 3-grams
-    only — exactly the oracle's `WHERE t1/t2/t3 IS NOT NULL` semantics;
-    a <3-token doc contributes nothing. (The old HOF's behavior there
-    was undefined anyway: under Spark 4 ANSI `element_at` past the end
-    THROWS, and the synthetic corpora never contain such docs — the
-    driver gate pins both sides equal on real data.)"""
-    import pandas as pd
+    Columnar ``mapInArrow`` kernel (text/udfs.shingled_docs_arrow):
+    literal-space split + dictionary-encoded lowercase + numpy trigram
+    index arithmetic + C++ hash group-by for the per-doc dedup — zero
+    per-token Python on the analytics suite's hottest shared stage
+    (ADVICE r4 #4; the previous mapInPandas set-builder was
+    interpreter-bound, ~1.9× slower at sf0.1 and growing with sf; the
+    round-2 transform/element_at HOF before it was worse still — Spark 4
+    interprets HOF lambdas per element). Per-doc dedup inside the kernel
+    ≡ global distinct because doc_id is part of the key, so no consumer
+    plan carries an Exchange for it. Emits FULL 3-grams only — exactly
+    the oracle's `WHERE t1/t2/t3 IS NOT NULL` semantics; a <3-token doc
+    contributes nothing. Equivalence to the per-row pandas reference
+    generator (kept in tests) is fuzz-pinned incl. Unicode lowercase
+    traps in tests/test_entry_extras.py."""
+    from searchengine_spark.text.udfs import shingled_docs_arrow
 
-    def gen(batches):
-        for pdf in batches:
-            ids, shs = [], []
-            for did, text in zip(pdf["doc_id"].values, pdf["text"].values):
-                toks = (
-                    [w for w in text.lower().split(" ") if w] if text else []
-                )
-                n = len(toks)
-                if n < 3:
-                    continue
-                cand = {" ".join(toks[i : i + 3]) for i in range(n - 2)}
-                ids.extend([did] * len(cand))
-                shs.extend(cand)
-            yield pd.DataFrame({"doc_id": ids, "shingle": shs})
-
-    id_type = docs.schema["doc_id"].dataType.simpleString()
-    return docs.select("doc_id", "text").mapInPandas(
-        gen, f"doc_id {id_type}, shingle string"
-    )
+    return shingled_docs_arrow(docs)
 
 
 def _shingles(spark, sf):

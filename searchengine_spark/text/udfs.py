@@ -374,6 +374,107 @@ def tokenized_docs_arrow(df, passthrough: tuple[str, ...] | None = None):
 
 
 # --------------------------------------------------------------------------
+# Columnar 3-gram shingles: the Arrow-native dedup/LSH feeder kernel
+# --------------------------------------------------------------------------
+#
+# Same semantics as the per-row pandas shingle generator it replaces
+# (text.lower().split(' '), empties dropped, distinct full 3-grams per
+# doc; <3-token docs contribute nothing — the oracle's WHERE t1/t2/t3 IS
+# NOT NULL), but the per-doc/per-token Python loop becomes pyarrow
+# compute + numpy index arithmetic, the same shape as
+# _tokenize_batch_columnar above. This stage feeds every jaccard/LSH/
+# minhash/pipeline branch, so it is the analytics suite's hottest shared
+# kernel (ADVICE r4: interpreter-bound Python would dominate at sf>=1).
+#
+# Lowercase note: pc.utf8_lower is NOT Python str.lower (utf8proc skips
+# the Greek final-sigma context rule and the İ→i̇ expansion — verified),
+# so only the DISTINCT tokens are lowered, in Python. Token-wise lower
+# ≡ whole-text lower here because the split is on literal ' ' and no
+# Unicode case mapping creates, removes, or crosses a space: every
+# token boundary is a space (uncased) on one side and the token edge on
+# the other in both formulations. Equivalence to the pandas generator is
+# fuzz-pinned (incl. ΣΟΦΟΣ/İ cases) in tests/test_entry_extras.py.
+
+
+def _shingle_batch_columnar(doc_ids: pa.Array, texts: pa.Array) -> pa.Table:
+    """One Arrow batch (doc_ids, texts) → table (doc_id, shingle) of the
+    DISTINCT lowercase 3-token shingles of each doc. Zero per-token
+    Python: RE-free literal split, dictionary-encode, numpy trigram
+    index arithmetic, C++ hash group-by for the per-doc dedup."""
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {"doc_id": pa.array([], type=doc_ids.type), "shingle": pa.array([], type=pa.string())}
+    )
+    if len(texts) == 0:
+        return empty
+    sp = pc.split_pattern(texts, pattern=" ")
+    flat = pc.list_flatten(sp)  # null texts contribute nothing
+    nonempty = pc.not_equal(flat, "")
+    toks = pc.filter(flat, nonempty)
+    if len(toks) == 0:
+        return empty
+    tok_row = (
+        pc.filter(pc.list_parent_indices(sp), nonempty)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    # lowercase the DISTINCT raw tokens only (Zipf text repeats tokens
+    # heavily; Python str.lower for exact parity with the row kernel)
+    de = toks.dictionary_encode()
+    lowered = pa.array([t.lower() for t in de.dictionary.to_pylist()], type=pa.string())
+    tok_lower = lowered.take(de.indices)
+
+    n_rows = len(texts)
+    cnt = np.bincount(tok_row, minlength=n_rows)  # tokens per batch row
+    g = np.maximum(cnt - 2, 0)  # full 3-grams per row
+    G = int(g.sum())
+    if G == 0:
+        return empty
+    starts = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+    g_off = np.concatenate(([0], np.cumsum(g)))
+    # token index of gram j of row r = starts[r] + j, j ∈ [0, g[r])
+    i0 = np.repeat(starts - g_off[:-1], g) + np.arange(G)
+    idx0 = pa.array(i0, type=pa.int64())
+    grams = pc.binary_join_element_wise(
+        tok_lower.take(idx0),
+        tok_lower.take(pa.array(i0 + 1, type=pa.int64())),
+        tok_lower.take(pa.array(i0 + 2, type=pa.int64())),
+        " ",
+    )
+    gram_doc = doc_ids.take(pa.array(np.repeat(np.arange(n_rows), g), type=pa.int64()))
+    # per-doc distinct = group_by with no aggregates (C++ hash grouper);
+    # doc_id is part of the key so this replays the row kernel's
+    # per-doc set() exactly (row ORDER is unspecified on both sides —
+    # every consumer treats the result as a set)
+    return pa.table({"doc_id": gram_doc, "shingle": grams}).group_by(
+        ["doc_id", "shingle"]
+    ).aggregate([])
+
+
+def shingled_docs_arrow(df):
+    """``df`` (doc_id, text) → (doc_id, shingle) distinct-per-doc frame
+    via ``mapInArrow`` with the columnar kernel. Narrow (partition-
+    preserving): the dedup is per-doc, so no global Exchange is needed —
+    doc_id is part of the distinct key and docs never span batches'
+    grouping semantics (the group-by runs per batch; a doc's rows sit in
+    one batch row, so its grams are all present)."""
+    id_type = df.schema["doc_id"].dataType.simpleString()
+
+    def run(batches):
+        for b in batches:
+            t = _shingle_batch_columnar(b.column("doc_id"), b.column("text"))
+            yield pa.RecordBatch.from_arrays(
+                [t.column("doc_id").combine_chunks(), t.column("shingle").combine_chunks()],
+                ["doc_id", "shingle"],
+            )
+
+    return df.select("doc_id", "text").mapInArrow(
+        run, f"doc_id {id_type}, shingle string"
+    )
+
+
+# --------------------------------------------------------------------------
 # simple_tokens: SQL-oracle-compatible tokenization (documents table)
 # --------------------------------------------------------------------------
 

@@ -255,3 +255,81 @@ def test_assign2_rank0_equals_top1_assign(spark):
     }
     assert top1 == rank0
     assert len(top1) > 100
+
+
+def _shingles_reference_rows(rows):
+    """The retired per-row pandas generator's semantics, verbatim: the
+    pinned reference for the columnar kernel (text.lower().split(' '),
+    empties dropped, distinct full 3-grams per doc)."""
+    out = set()
+    for did, text in rows:
+        toks = [w for w in text.lower().split(" ") if w] if text else []
+        n = len(toks)
+        for i in range(n - 2):
+            out.add((did, " ".join(toks[i : i + 3])))
+    return out
+
+
+def test_shingle_columnar_kernel_identical_to_row_reference():
+    """Fuzzed equivalence of the Arrow shingle kernel to the per-row
+    reference — including the Unicode lowercase traps where
+    pc.utf8_lower would diverge from str.lower (Greek final sigma
+    context rule, İ→i̇ expansion), multi-space runs, short docs, empty
+    and None texts."""
+    import random
+
+    import pyarrow as pa
+
+    from searchengine_spark.text.udfs import _shingle_batch_columnar
+
+    rng = random.Random(4105)
+    vocab = [
+        "alpha", "Beta", "GAMMA", "ΣΟΦΟΣ", "ΑΣ", "İSTANBUL", "straße",
+        "Ǆungla", "x", "ΒΑΣΙΣ", "mixedΣcase", "ΣΣΣ",
+    ]
+    cases = [None, "", " ", "   ", "a b", "one two three",
+             "ΣΟΦΟΣ ΑΣ İSTANBUL ΣΟΦΟΣ ΑΣ İSTANBUL"]
+    rows = []
+    for did in range(400):
+        if did < len(cases):
+            rows.append((did, cases[did]))
+            continue
+        n = rng.randrange(0, 12)
+        sep_pool = [" ", "  ", "   "]
+        text = ""
+        for i in range(n):
+            if i:
+                text += rng.choice(sep_pool)
+            text += rng.choice(vocab)
+        if rng.random() < 0.2:
+            text = " " + text + " "
+        rows.append((did, text))
+    got_tbl = _shingle_batch_columnar(
+        pa.array([r[0] for r in rows], type=pa.int64()),
+        pa.array([r[1] for r in rows], type=pa.string()),
+    )
+    got = set(zip(got_tbl["doc_id"].to_pylist(), got_tbl["shingle"].to_pylist()))
+    want = _shingles_reference_rows(rows)
+    assert got == want
+    # per-doc dedup really happened (no duplicate pairs survive group_by)
+    assert len(got_tbl) == len(got)
+
+
+def test_shingles_of_spark_plan_and_values(spark, tmp_path):
+    """_shingles_of must compile to MapInArrow (never BatchEvalPython)
+    and agree with the row reference through the full Spark path."""
+    rows = [
+        (0, "Alpha beta GAMMA alpha beta gamma"),
+        (1, "one  two   three four"),
+        (2, "too short"),
+        (3, None),
+        (4, "ΣΟΦΟΣ ΑΣ İSTANBUL ΣΟΦΟΣ"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = entry_mod._shingles_of(df)
+    plan = sh._sc._jvm.PythonSQLUtils.explainString(
+        sh._jdf.queryExecution(), "extended"
+    )
+    assert "MapInArrow" in plan and "BatchEvalPython" not in plan
+    got = {(r["doc_id"], r["shingle"]) for r in sh.collect()}
+    assert got == _shingles_reference_rows(rows)
