@@ -12,16 +12,21 @@ SCALE NOTE: exact tier membership is defined by per-term GLOBAL heap pop
 order INCLUDING tie order, and JDK heap tie order is a function of the
 complete per-term insertion sequence (javapq.py) — so some sequential
 per-term computation is irreducible under bit-fidelity. What is NOT
-irreducible is gathering the posting payload: the label pass gathers
-only ``(doc_id, tf)`` (16 B/posting — a 1M-posting stopword is 16 MB,
-not the round-1 full-positions gather that risked OOM), and tier labels
-are then joined back to the distributed posting rows on (term, doc_id),
-so positions never concentrate in one task. At true web scale (10^9+
-postings/term) even the slim gather is wrong — tiered mode exists for
-rank-identity with the reference's ACTIVE configuration; the 10^12-doc
-serving path is block-max WAND over the flat index (query/wand.py),
-whose pruning is exact rather than the tier heuristic's lossy
-fall-through.
+irreducible is the constant: the label pass gathers only ``(doc_id,
+tf)`` slim rows, the heap replay runs on flat 8-byte buffers
+(javapq.assign_tiers_flat — 16 B/posting heap state, no per-element
+Python objects) and stops polling at the tier-2 boundary (the remaining
+~57 % of the heap is tier 3 by definition), and tier labels are then
+joined back to the distributed posting rows on (term, doc_id), so
+positions never concentrate in one task. Measured: a synthetic
+10^8-posting term labels element-exactly inside ONE Python worker
+hard-capped by ``spark.executor.pyspark.memory`` (~40 B/posting peak —
+``jobs/tier_label_scale.py``, artifact ``BENCH/tier_label_1e8_ties.json``).
+At 10^9+ postings/term the single sequential task remains the declared
+floor — tiered mode exists for rank-identity with the reference's
+ACTIVE configuration; the 10^12-doc serving path is block-max WAND over
+the flat index (query/wand.py), whose pruning is exact rather than the
+tier heuristic's lossy fall-through.
 """
 
 from __future__ import annotations
@@ -36,7 +41,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .build import _encode_block
-from .javapq import assign_tiers, assign_tiers_scored
+from .javapq import (
+    assign_tiers,
+    assign_tiers_flat,
+    assign_tiers_scored,
+    assign_tiers_scored_flat,
+)
 
 LABEL_SCHEMA = "term string, doc_id long, tier int"
 SCORED_LABEL_SCHEMA = "term string, doc_id long, tier int, score double"
@@ -113,25 +123,35 @@ def _labels_streamed(slim: DataFrame, label_one, schema: str) -> DataFrame:
 
 def _label_tier_one(term, docs: np.ndarray, tfs: np.ndarray) -> dict:
     """Per-term labeler for the streaming kernel: docID order in,
-    tier labels out (JDK heap replay, javapq.assign_tiers)."""
-    return {"tier": np.asarray(assign_tiers(docs, tfs), dtype=np.int32)}
+    tier labels out (JDK heap replay on flat 16 B/posting buffers,
+    javapq.assign_tiers_flat — bit-identical to the object-heap
+    assign_tiers, which the oracle refmodel still runs independently)."""
+    return {"tier": assign_tiers_flat(tfs)}
 
 
 def _label_scored_one(n_docs: float):
     """Per-term scored labeler factory: score = wdt·wqt with N frozen at
     build (TieredIndexWriterWithScore.java:130-144), tiers by the
-    score-ranked heap with HashMap-Integer insertion order."""
+    score-ranked heap with HashMap-Integer insertion order (flat-buffer
+    replay, javapq.assign_tiers_scored_flat)."""
     import math as _math
 
     def one(term, docs: np.ndarray, tfs: np.ndarray) -> dict:
         df = float(len(docs))
         wqt = _math.log(1.0 + n_docs / df)
-        scores = [(1.0 + _math.log(int(tf))) * wqt for tf in tfs]
-        tiers = assign_tiers_scored(docs.tolist(), scores)
-        return {
-            "tier": np.asarray(tiers, dtype=np.int32),
-            "score": np.asarray(scores, dtype=np.float64),
-        }
+        # per-distinct-tf wdt table with math.log (np.log is a different
+        # polynomial — CLAUDE.md); scores stay bit-equal to the scalar
+        # (1+math.log(tf))*wqt the reference computes per posting
+        tf_arr = np.ascontiguousarray(tfs, dtype=np.int64)
+        uniq, inv = np.unique(tf_arr, return_inverse=True)
+        tab = np.fromiter(
+            ((1.0 + _math.log(int(u))) * wqt for u in uniq),
+            dtype=np.float64,
+            count=len(uniq),
+        )
+        scores = tab[inv]
+        tiers = assign_tiers_scored_flat(docs.tolist(), scores)
+        return {"tier": tiers, "score": scores}
 
     return one
 

@@ -223,3 +223,71 @@ def test_streaming_labeler_million_posting_stopword(spark):
     want = np.asarray(assign_tiers(docs, tfs), dtype=np.int32)
     assert got.shape == want.shape == (n,)
     assert np.array_equal(got, want)
+
+
+def test_flat_heap_replay_identical_to_object_heap_fuzz():
+    """The 16 B/posting flat-buffer replay (assign_tiers_flat /
+    assign_tiers_scored_flat, incl. the tier-3 poll short-circuit) must
+    match the object heap posting-for-posting on tie-heavy fuzz: tie
+    runs straddling both tier boundaries are exactly where JDK sift
+    order is load-bearing."""
+    import math as _math
+    import random
+
+    import numpy as np
+
+    from searchengine_spark.index.javapq import (
+        assign_tiers_flat,
+        assign_tiers_scored,
+        assign_tiers_scored_flat,
+    )
+
+    rng = random.Random(60103)
+    sizes = [0, 1, 2, 3, 9, 10, 11, 29, 30, 31, 100, 997, 3000]
+    for trial in range(120):
+        n = sizes[trial % len(sizes)]
+        style = trial % 4
+        if style == 0:
+            tfs = [1] * n  # one giant tie run across both boundaries
+        elif style == 1:
+            tfs = [rng.randrange(1, 3) for _ in range(n)]
+        elif style == 2:
+            tfs = [rng.randrange(1, 8) for _ in range(n)]
+        else:
+            tfs = [rng.randrange(1, 1000) for _ in range(n)]
+        docs = rng.sample(range(10 * n + 10), n)
+        want = np.asarray(assign_tiers(docs, tfs), dtype=np.int32)
+        got = assign_tiers_flat(np.asarray(tfs, dtype=np.int64))
+        assert np.array_equal(got, want), (trial, n, style)
+        # scored variant: same docIDs, wqt-scaled scores (tie structure
+        # preserved), HashMap-Integer offer order on both sides
+        wqt = _math.log(1.0 + 5000.0 / max(n, 1))
+        scores = [(1.0 + _math.log(tf)) * wqt for tf in tfs]
+        want_s = np.asarray(assign_tiers_scored(docs, scores), dtype=np.int32)
+        got_s = assign_tiers_scored_flat(docs, np.asarray(scores))
+        assert np.array_equal(got_s, want_s), (trial, n, style)
+
+
+def test_flat_heap_peak_memory_is_flat_buffers():
+    """The flat replay's working set must stay O(16 B/posting) with no
+    per-element Python objects: label 2M postings and check the replay
+    allocates no large Python-object arena (tracemalloc measures Python
+    allocations; flat array/numpy buffers dominate, tuples would be
+    ~200 MB)."""
+    import tracemalloc
+
+    import numpy as np
+
+    from searchengine_spark.index.javapq import assign_tiers_flat
+
+    n = 2_000_000
+    tfs = (np.arange(n, dtype=np.int64) % 5) + 1
+    tracemalloc.start()
+    before, _ = tracemalloc.get_traced_memory()
+    got = assign_tiers_flat(tfs)
+    after, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # buffers: heap 16B + pops 8B + out 4B + key copy 8B ≈ 36 B/posting;
+    # assert well under the ~100 B/posting object-heap regime
+    assert peak - before < 60 * n, (peak - before) / n
+    assert got.sum() > 0
