@@ -890,6 +890,49 @@ def _scaling_experiment(
         shutil.rmtree(enc_dir, ignore_errors=True)
 
 
+def _tree_cpu_sec() -> float:
+    """Cumulative utime+stime of this process + all live descendants
+    (the in-process py4j JVM and its python workers) — reuses the /proc
+    walker the scaling probes already trust (jobs/scaling_probe.py)."""
+    import importlib.util
+
+    global _SCALING_PROBE_MOD
+    if _SCALING_PROBE_MOD is None:
+        spec = importlib.util.spec_from_file_location(
+            "scaling_probe", os.path.join(_REPO, "jobs", "scaling_probe.py")
+        )
+        _SCALING_PROBE_MOD = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(_SCALING_PROBE_MOD)
+    return _SCALING_PROBE_MOD._tree_cpu_sec(os.getpid())
+
+
+_SCALING_PROBE_MOD = None
+
+
+def _steal_probe() -> dict:
+    """Fixed single-thread numpy burn (~0.5 s healthy): wall vs thread
+    CPU time. cpu/wall ≈ 1.0 when the hypervisor grants the core;
+    materially below 1.0 means the suite ran in a stolen/starved window.
+    A FIXED workload makes the number comparable across runs and rounds
+    — the query-suite analogue of the scaling section's occupancy gate
+    (this host flips granted-core phases on minute timescales; per-query
+    medians-of-3 cannot out-sample a multi-minute starved phase, so the
+    artifact records the ambient state instead of hiding it)."""
+    import numpy as np
+
+    # elementwise only — numpy never threads these, so thread_time/wall
+    # is a pure grant measurement (matmul would fan into BLAS threads)
+    a = np.full(4 << 20, 1.0)
+    t0, c0 = time.time(), time.thread_time()
+    for _ in range(40):
+        a = a * 1.0000001 + 1e-9
+    wall, cpu = time.time() - t0, time.thread_time() - c0
+    return {
+        "wall_sec": round(wall, 3),
+        "cpu_over_wall": round(cpu / max(wall, 1e-9), 3),
+    }
+
+
 # Plans that aren't queries() entries but are load-bearing sub-plans a
 # query checkpoints away before the judge can see them (the IVF e-step's
 # Arrow kernel only appears pre-checkpoint; the query-time plan reads
@@ -988,19 +1031,31 @@ def main() -> None:
     spark = get_spark("bench-suite", master=f"local[{cpus}]", shuffle_partitions=cpus)
     per_query: dict[str, float] = {}
     per_query_bands: dict[str, list] = {}
+    per_query_cores: dict[str, float] = {}
     query_reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
+    suite_ambient = {"before": _steal_probe()}
     try:
         for name, fn in entry_mod.queries().items():
             # median-of-reps per query (VERDICT r3 #6: single-sample
             # walls are indistinguishable from host phase — the r3
             # ann_ivf 3.45→4.21 "regression" was noise)
             secs = []
+            cpu0, w0 = _tree_cpu_sec(), time.time()
             for _ in range(query_reps):
                 t0 = time.time()
                 fn(spark, sf_dir).count()
                 secs.append(time.time() - t0)
+            # granted-core occupancy over this query's reps (JVM + python
+            # workers): a wall inflated by a starved host phase shows up
+            # as LOW cores_used on a query whose healthy runs occupy many
+            # — the discriminator between "engine regressed" and "host
+            # withheld cores" that r4's bands alone couldn't provide
+            per_query_cores[name] = round(
+                (_tree_cpu_sec() - cpu0) / max(time.time() - w0, 1e-9), 1
+            )
             per_query[name] = round(_median(secs), 3)
             per_query_bands[name] = [round(min(secs), 3), round(max(secs), 3)]
+        suite_ambient["after"] = _steal_probe()
         refresh_plan_dumps(spark, sf_dir, walls=per_query)
         try:
             ann_curve = entry_mod.ann_recall_curve(spark, sf_dir)
@@ -1050,6 +1105,8 @@ def main() -> None:
         "lsh_pair_recall": lsh_recall,
         "query_reps": query_reps,
         "query_bands": per_query_bands,
+        "query_cores_used": per_query_cores,
+        "suite_ambient": suite_ambient,
         "scaling": result.get("scaling"),
     }
     # the bulky detail goes to a SIDECAR file (committed under BENCH/);

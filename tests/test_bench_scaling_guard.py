@@ -285,3 +285,19 @@ def test_unpinned_regime_flagged_in_payload(monkeypatch):
     out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=2, phase_retry_pairs=0)
     assert out["pinned"] is False
     assert "PINNED" not in out["method"]
+
+
+def test_suite_ambient_probes():
+    """The query-suite ambient probes must return sane, bounded numbers:
+    the steal probe is a FIXED single-thread elementwise burn (cpu/wall
+    can only fall below 1 via hypervisor steal — never legitimately
+    exceed it by much), and the /proc tree-CPU walker must be monotone
+    so per-query cores_used deltas are non-negative."""
+    p = bench._steal_probe()
+    assert p["wall_sec"] > 0
+    assert 0.0 < p["cpu_over_wall"] <= 1.05
+    c0 = bench._tree_cpu_sec()
+    # burn a little CPU in-process; the tree includes this process
+    x = sum(i * i for i in range(200_000))
+    assert x > 0
+    assert bench._tree_cpu_sec() >= c0
