@@ -292,12 +292,8 @@ class SparkBackend:
         if not terms:
             self.present = set()
             return
-        rows = (
-            self.idx.lexicon.filter(F.col("term").isin(sorted(terms)))
-            .select("term")
-            .collect()
-        )
-        self.present = {r["term"] for r in rows}
+        # presence via the handle's RAM df memo — no Spark job per query
+        self.present = set(self.idx.term_dfs(sorted(terms)))
         if self.present:
             self.base = self._decoded_fn(self.idx, sorted(self.present))
 

@@ -82,6 +82,50 @@ class IndexHandle:
         self.meta = json.load(
             open(os.path.join(self.path, "_manifests", "meta.json"))
         )
+        # driver-RAM df memo (see term_dfs) — bounded by distinct QUERIED
+        # terms, not lexicon size, so it stays scale-safe on a shard whose
+        # full lexicon wouldn't fit on the driver
+        self._df_memo: dict[str, int] = {}
+        self._lex_ds = None
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """term → df for the PRESENT subset of ``terms``, via a driver-RAM
+        memo over a footer-pruned pyarrow read of the lexicon — the batch/
+        interactive planners' analogue of the serving tier's RAM lexicon
+        (serve.py term_stats), but lazy: each distinct term is fetched once
+        (misses memoize as df=0) and never costs a Spark job. Repeated
+        queries — the batch harness, bench reps, a WAND upper-bound probe
+        after a planner probe — are pure dict hits. Falls back to a Spark
+        collect when the index path isn't pyarrow-readable (e.g. a remote
+        URI with no local filesystem mapping)."""
+        todo = sorted({t for t in terms if t not in self._df_memo})
+        if todo:
+            found: dict[str, int] = {}
+            try:
+                import pyarrow.compute as pc
+                import pyarrow.dataset as ds
+
+                if self._lex_ds is None:
+                    self._lex_ds = ds.dataset(
+                        os.path.join(self.path, "lexicon"), format="parquet"
+                    )
+                t = self._lex_ds.to_table(
+                    columns=["term", "df"], filter=pc.field("term").isin(todo)
+                )
+                found = {
+                    term: int(df)
+                    for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist())
+                }
+            except Exception:
+                found = {
+                    r["term"]: int(r["df"])
+                    for r in self.lexicon.filter(F.col("term").isin(todo))
+                    .select("term", "df")
+                    .collect()
+                }
+            for term in todo:
+                self._df_memo[term] = found.get(term, 0)
+        return {t: self._df_memo[t] for t in set(terms) if self._df_memo.get(t, 0) > 0}
 
 
 def _decode_blocks(batches):
@@ -200,19 +244,17 @@ def query_weights(
     """Per-term wqt, multiplied by query-term multiplicity."""
     n = float(self_n(idx))
     mult = Counter(terms)
-    rows = (
-        idx.lexicon.filter(F.col("term").isin(list(mult))).select("term", "df").collect()
-    )
+    dfs = idx.term_dfs(list(mult))
     out = []
-    for r in rows:
-        df = float(r["df"])
+    for term in sorted(dfs):  # term order, matching the lexicon's sort
+        df = float(dfs[term])
         if scorer == "tfidf_ref":
             wqt = math.log(1.0 + n / df)
         elif scorer == "bm25":
             wqt = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
         else:
             raise ValueError(scorer)
-        out.append((r["term"], wqt * mult[r["term"]]))
+        out.append((term, wqt * mult[term]))
     return out
 
 
@@ -292,12 +334,7 @@ def ranked_topk_batch(
         return spark.createDataFrame(
             [], "qid int, rank int, doc_id long, url string, score double"
         )
-    dfs = {
-        r["term"]: float(r["df"])
-        for r in idx.lexicon.filter(F.col("term").isin(all_terms))
-        .select("term", "df")
-        .collect()
-    }
+    dfs = {t: float(df) for t, df in idx.term_dfs(all_terms).items()}
     rows = []
     for qid, cnt in per_q.items():
         for t, mult in cnt.items():
