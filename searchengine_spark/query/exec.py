@@ -311,11 +311,79 @@ def ranked_topk(
     )
 
 
+def _bm25_bucket_topk_kernel(qweights, avgdl: float, bucket_docs: int, k: int):
+    """applyInPandas kernel factory for the scatter-gather batch path: one
+    group = one BUCKET (a contiguous doc_id range — every posting of every
+    doc in the range is co-located by construction, since postings rows are
+    keyed (term, bucket)). Decodes the live terms' blocks, accumulates BM25
+    per (query, local doc) in numpy, and emits at most k rows per query —
+    the per-bucket winners. Exact: each doc lives in exactly one bucket, so
+    the global top-k is a subset of the union of per-bucket top-k.
+
+    ``qweights``: {term: [(qid, wqt·mult), ...]} with deterministic list
+    order; accumulation iterates blocks in sorted-term order so each
+    query's per-doc sum folds in a fixed term order (float-order stable
+    across runs)."""
+    K1, B = BM25_K1, BM25_B
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["term"].to_numpy(), kind="stable")
+        base = int(pdf["bucket"].iloc[0]) * bucket_docs
+        acc: dict[int, np.ndarray] = {}
+        terms = pdf["term"].to_numpy()
+        dvbs = pdf["docs_vb"].to_numpy()
+        tvbs = pdf["tfs_vb"].to_numpy()
+        lvbs = pdf["dls_vb"].to_numpy()
+        for i in order:
+            users = qweights.get(terms[i])
+            if not users:
+                continue
+            docs = decode_sorted(bytes(dvbs[i]))
+            tf = vb_decode(bytes(tvbs[i])).astype(np.float64)
+            dl = vb_decode(bytes(lvbs[i])).astype(np.float64)
+            contrib = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            local = docs - base
+            for qid, w in users:
+                arr = acc.get(qid)
+                if arr is None:
+                    arr = acc[qid] = np.zeros(bucket_docs, dtype=np.float64)
+                # docs within one block are unique → fancy += is exact;
+                # chunk-duplicate (term,bucket) rows add in separate passes
+                arr[local] += w * contrib
+        if not acc:
+            return pd.DataFrame(
+                {"qid": pd.Series(dtype="int32"),
+                 "doc_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")}
+            )
+        qids_out, docs_out, scores_out = [], [], []
+        for qid in sorted(acc):
+            arr = acc[qid]
+            nz = np.nonzero(arr)[0]
+            sc = arr[nz]
+            # exact (score DESC, doc_id ASC) head — buckets are small, a
+            # full lexsort of the matches is cheaper than tie-safe partition
+            sel = np.lexsort((nz, -sc))[:k]
+            qids_out.append(np.full(len(sel), qid, dtype=np.int32))
+            docs_out.append((nz[sel] + base).astype(np.int64))
+            scores_out.append(sc[sel])
+        return pd.DataFrame(
+            {
+                "qid": np.concatenate(qids_out),
+                "doc_id": np.concatenate(docs_out),
+                "score": np.concatenate(scores_out),
+            }
+        )
+
+    return score_bucket
+
+
 def ranked_topk_batch(
     idx: IndexHandle,
     queries: list[tuple[int, str]],
     k: int = 20,
     scorer: str = "tfidf_ref",
+    impl: str | None = None,
 ) -> DataFrame:
     """Evaluate MANY ranked queries in ONE Spark job (the analogue of the
     reference's batch harness, Milestone3/SimulateQueryRun.java:33-87, and
@@ -325,7 +393,18 @@ def ranked_topk_batch(
 
     Scale shape: one bucket-pruned scan regardless of query count; the
     window partitions by qid (thousands of tiny partitions), never by
-    term, so stopword skew can't concentrate in one task."""
+    term, so stopword skew can't concentrate in one task.
+
+    ``impl``: None (auto) picks the scatter-gather KERNEL path for bm25 —
+    encoded blocks shuffle once by bucket (each block crosses the wire
+    once no matter how many queries share its term, vs one candidate row
+    per (query, posting) in the exchange path), one Arrow kernel per
+    bucket scores every query numpy-side and emits ≤k rows per query, and
+    a window over ≤ k·queries·buckets tiny rows takes the exact global
+    top-k — the same scatter-gather shape the sharded serving root uses
+    across shards. "exchange" forces the declarative candidate-row path
+    (the tfidf_ref parity scorer always uses it: its ÷Ld needs the docs
+    dim, which rides the exchange plan's broadcast join)."""
     spark = idx.spark
     n = float(self_n(idx))
     per_q: dict[int, Counter] = {qid: Counter(expand_ranked_query(q)) for qid, q in queries}
@@ -350,6 +429,35 @@ def ranked_topk_batch(
         return spark.createDataFrame(
             [], "qid int, rank int, doc_id long, url string, score double"
         )
+    from pyspark.sql.window import Window
+
+    if impl is None:
+        impl = "kernel" if scorer == "bm25" else "exchange"
+    if impl == "kernel":
+        if scorer != "bm25":
+            raise ValueError("kernel batch path is bm25-only (tfidf needs Ld)")
+        qweights: dict[str, list[tuple[int, float]]] = {}
+        for qid, t, w in sorted(rows):
+            qweights.setdefault(t, []).append((qid, w))
+        live_terms = sorted(qweights)
+        avgdl = float(idx.meta["avgdl"])
+        bucket_docs = int(idx.meta["bucket_docs"])
+        blocks = idx.postings.filter(
+            F.col("term").isin(live_terms)
+        ).select("bucket", "term", "docs_vb", "tfs_vb", "dls_vb")
+        per_bucket = blocks.groupBy("bucket").applyInPandas(
+            _bm25_bucket_topk_kernel(qweights, avgdl, bucket_docs, k),
+            schema="qid int, doc_id long, score double",
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked = (
+            per_bucket.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+        return ranked.join(idx.docs.select("doc_id", "url"), "doc_id").select(
+            "qid", "rank", "doc_id", "url", "score"
+        )
+
     qdim = F.broadcast(spark.createDataFrame(rows, "qid int, term string, wqt double"))
     live_terms = sorted({t for _, t, _ in rows})
     cand = decoded_postings(idx, live_terms).join(qdim, "term")
@@ -374,8 +482,6 @@ def ranked_topk_batch(
             .groupBy("qid", "doc_id")
             .agg(F.sum("partial").alias("score"))
         )
-    from pyspark.sql.window import Window
-
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     ranked = (
         scored.withColumn("rank", F.row_number().over(w))

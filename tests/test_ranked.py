@@ -62,6 +62,38 @@ def test_topk_is_take_ordered(handle):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_batch_kernel_matches_exchange_bm25(handle):
+    """The scatter-gather bucket-kernel batch path must reproduce the
+    declarative exchange plan exactly: same (qid, rank, doc_id) and scores
+    within float-reassociation tolerance (the two paths fold each doc's
+    per-term partials in different orders)."""
+    from searchengine_spark.query.exec import ranked_topk_batch
+
+    qs = list(enumerate(QUERIES))
+    a = ranked_topk_batch(handle, qs, k=20, scorer="bm25", impl="kernel").collect()
+    b = ranked_topk_batch(handle, qs, k=20, scorer="bm25", impl="exchange").collect()
+    ka = sorted((r["qid"], r["rank"], r["doc_id"], r["score"]) for r in a)
+    kb = sorted((r["qid"], r["rank"], r["doc_id"], r["score"]) for r in b)
+    assert len(ka) == len(kb)
+    for x, y in zip(ka, kb):
+        assert x[:3] == y[:3]
+        assert abs(x[3] - y[3]) <= 1e-9 * max(1.0, abs(x[3]))
+
+
+def test_batch_kernel_matches_oracle_bm25(handle, oracle_index):
+    from searchengine_spark.query.exec import ranked_topk_batch
+
+    qs = [(0, "fast data"), (1, "the the"), (2, "merge sort join hash scan filter group order")]
+    batch = ranked_topk_batch(handle, qs, k=20, scorer="bm25", impl="kernel").collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    for qid, q in qs:
+        want = ranked_topk_oracle(oracle_index, q, k=20, scorer="bm25")
+        got = sorted(by_qid.get(qid, []))
+        assert_rank_identical([(d, s) for _, d, s in got], want, rel_tol=1e-9)
+
+
 def test_batch_matches_sequential(handle, oracle_index):
     from searchengine_spark.query.exec import ranked_topk_batch
 
