@@ -142,6 +142,32 @@ def _build_and_query(
                 len(qs) / min(batch_secs),
             ]
             out["batch_result_rows"] = nres
+            out["batch_impl"] = "kernel-scatter-gather"
+            # commit the batch plan alongside the driver-query dumps (it
+            # isn't a queries() entry — it needs a built index — so the
+            # full bench maintains it; kept via bench.AUX_PLAN_DUMPS)
+            try:
+                import contextlib
+                import io
+
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    ranked_topk_batch(idx, qs, k=20, scorer="bm25").explain(
+                        "formatted"
+                    )
+                plans_dir = os.path.join(_REPO, "BENCH", "plans")
+                os.makedirs(plans_dir, exist_ok=True)
+                with open(
+                    os.path.join(plans_dir, "batch_bm25_kernel.txt"), "w"
+                ) as f:
+                    f.write(
+                        f"# wall: {_median(batch_secs):.3f} s for "
+                        f"{len(qs)} queries over the {n_docs}-doc bench "
+                        "index (scatter-gather bucket kernel)\n"
+                    )
+                    f.write(buf.getvalue())
+            except Exception:
+                pass
             # interactive latency over a sample — Spark job path
             lats = []
             for qid, q in qs[:20]:
@@ -938,7 +964,7 @@ def _steal_probe() -> dict:
 # Arrow kernel only appears pre-checkpoint; the query-time plan reads
 # `Scan ExistingRDD`). Dumped alongside so the committed artifacts show
 # the full execution shape. Keep in sync with tests/test_plan_audit.py.
-AUX_PLAN_DUMPS = ("ann_ivf_assign_kernel",)
+AUX_PLAN_DUMPS = ("ann_ivf_assign_kernel", "batch_bm25_kernel")
 
 
 def refresh_plan_dumps(spark, sf_dir: str, walls: dict | None = None) -> None:

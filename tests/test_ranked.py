@@ -94,6 +94,23 @@ def test_batch_kernel_matches_oracle_bm25(handle, oracle_index):
         assert_rank_identical([(d, s) for _, d, s in got], want, rel_tol=1e-9)
 
 
+def test_batch_kernel_plan_shape(handle):
+    """The kernel batch path must compile to the scatter-gather shape:
+    one Arrow grouped kernel (FlatMapGroupsInPandas), no row-at-a-time
+    Python, no cartesian join."""
+    from searchengine_spark.query.exec import ranked_topk_batch
+
+    p = (
+        ranked_topk_batch(handle, [(0, "fast data"), (1, "the")], k=5, scorer="bm25")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_batch_matches_sequential(handle, oracle_index):
     from searchengine_spark.query.exec import ranked_topk_batch
 
