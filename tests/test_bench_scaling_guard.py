@@ -218,6 +218,29 @@ def test_phase_retry_extends_experiment_once(monkeypatch):
     assert out["efficiency"] == 0.6  # median of 5 — honest, not cherry-picked
 
 
+def test_phase_retry_triggers_on_raw_miss_even_when_did_passes(monkeypatch):
+    # raw median 0.76 (<0.8) while the control reads 0.8 so DiD = 0.95
+    # (≥0.9): the north rule's bar is the RAW reading, so a raw miss
+    # alone extends the experiment — the DiD correction diagnoses the
+    # throttled window, it is not the acceptance criterion. Pinned
+    # regime (the low_control per-pair gate is inactive there, so the
+    # pairs are KEPT and only the experiment-level extension fires).
+    env = _Env(
+        monkeypatch,
+        pair_script=[(1000, 3040)] * 3 + [(1000, 3200)] * 2,
+        ctl_sec_hi=12.5,  # control (40/12.5)/4 = 0.8
+    )
+    monkeypatch.setattr(bench, "_pin_cores", lambda n: list(range(n)))
+    out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3, phase_retry_pairs=2)
+    assert out["pinned"] is True
+    assert out["discarded_pairs"] == []
+    assert out["phase_retry_pairs"] == 2
+    assert out["pairs"] == 5
+    assert sorted(out["efficiency_pairs"]) == [0.76, 0.76, 0.76, 0.8, 0.8]
+    # medians stay over ALL kept pairs — the extension cannot cherry-pick
+    assert out["efficiency"] == 0.76
+
+
 def test_phase_retry_not_triggered_when_criterion_met(monkeypatch):
     env = _Env(monkeypatch, pair_script=[(1000, 3200)] * 3)
     out = bench._scaling_experiment(n_lo=2, n_docs=1000, pairs=3, phase_retry_pairs=2)
