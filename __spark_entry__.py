@@ -286,6 +286,29 @@ def _shingles_ckpt(spark, sf):
     return _SHINGLE_CKPT_CACHE[key]
 
 
+_CAPPED_SHINGLE_CACHE: dict = {}
+
+
+def _capped_shingles_ckpt(spark, sf):
+    """The df-capped (shingle df ≤ _JACCARD_MAX_DF) full-corpus shingle
+    set, one checkpoint per (session, sf) — the second shared
+    intermediate of the dedup family: jaccard_pairs/dedup_groups and the
+    LSH verify stage all join against exactly this frame, so the df
+    group-by + semi-join run once per session instead of once per
+    invocation."""
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _CAPPED_SHINGLE_CACHE:
+        sh = _shingles_ckpt(spark, sf)
+        df_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .where(F.col("sdf") <= _JACCARD_MAX_DF)
+            .select("shingle")
+        )
+        _CAPPED_SHINGLE_CACHE[key] = sh.join(df_ok, "shingle").localCheckpoint()
+    return _CAPPED_SHINGLE_CACHE[key]
+
+
 _JACCARD_MAX_DF = 20  # shingles in more docs than this are non-discriminative
 
 
@@ -300,10 +323,12 @@ def _q_jaccard_pairs(spark, sf):
     still score 1.0 because both sides lose the same shingles.
 
     The shingle set feeds FOUR plan branches (df cap, sizes, both join
-    sides) — the session-cached checkpoint (`_shingles_ckpt`) feeds all
-    of them without recomputing the tokenize+explode per branch or per
-    invocation."""
-    return _jaccard_pairs_from(_shingles_ckpt(spark, sf))
+    sides) — the session-cached checkpoints (`_shingles_ckpt`,
+    `_capped_shingles_ckpt`) feed all of them without recomputing the
+    tokenize+explode or the df cap per branch or per invocation.
+    max_df=None because the input is ALREADY capped — same semantics as
+    _jaccard_pairs_from(raw, max_df=_JACCARD_MAX_DF)."""
+    return _jaccard_pairs_from(_capped_shingles_ckpt(spark, sf), max_df=None)
 
 
 def _jaccard_pairs_from(sh, max_df=_JACCARD_MAX_DF):
@@ -508,13 +533,7 @@ def _q_lsh_jaccard_verified(spark, sf):
     already shared these via CTEs)."""
     sh_all = _shingles_ckpt(spark, sf)
     cand = _band_pairs_from(_minhash_signatures_from(sh_all).localCheckpoint())
-    df_ok = (
-        sh_all.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("sdf"))
-        .where(F.col("sdf") <= _JACCARD_MAX_DF)
-        .select("shingle")
-    )
-    sh = sh_all.join(df_ok, "shingle").localCheckpoint()
+    sh = _capped_shingles_ckpt(spark, sf)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
