@@ -333,3 +333,44 @@ def test_shingles_of_spark_plan_and_values(spark, tmp_path):
     assert "MapInArrow" in plan and "BatchEvalPython" not in plan
     got = {(r["doc_id"], r["shingle"]) for r in sh.collect()}
     assert got == _shingles_reference_rows(rows)
+
+
+def test_doc_fingerprint_mapside_identical_to_exploded(spark):
+    """The map-side HOF doc_fingerprint (array_min/array_max over hashed
+    grams + size∘array_distinct) must be bit-identical to the exploded
+    groupBy reference form it replaced, and its plan must carry no
+    aggregation Exchange — the only shuffle allowed is the final
+    orderBy's range partitioning. (The exploded form moved every
+    (doc_id, gram) occurrence through a hashpartitioning exchange for
+    the countDistinct; ~10× slower at sf0.1.)"""
+    from pyspark.sql import functions as F
+
+    live = entry_mod._q_doc_fingerprint(spark, SF_DIR)
+    plan = live._sc._jvm.PythonSQLUtils.explainString(
+        live._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning" not in plan, plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    grams = F.expr(
+        "transform(sequence(1, greatest(char_length(_lt) - 7, 1)),"
+        " i -> substring(_lt, i, 8))"
+    )
+    g = docs.select("doc_id", F.lower("text").alias("_lt")).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    h = F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10).cast("bigint")
+    ref = (
+        g.select("doc_id", h.alias("h"), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.min("h").alias("fp_min"),
+            F.max("h").alias("fp_max"),
+            F.countDistinct("gram").alias("n_grams"),
+        )
+        .orderBy("doc_id")
+    )
+    a = live.collect()
+    b = ref.collect()
+    assert len(a) == len(b) > 0
+    assert all(ra == rb for ra, rb in zip(a, b)), "value mismatch"
