@@ -1479,6 +1479,92 @@ def _q_quality_scores(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_quality_repetition(spark, sf):
+    """Repetition-based quality signals (the Gopher/C4-style rules a
+    webtext training-data filter applies after the length/stopword
+    gates): per doc, the fraction of tokens that are the single most
+    frequent token (`top_token_ratio`), the fraction of token bigrams
+    that are repeats of an earlier bigram (`dup_bigram_ratio` =
+    1 − distinct/total), and the fraction that are the single most
+    frequent bigram (`top_bigram_ratio`). Heavily templated or
+    looping machine text scores high on all three while length and
+    stopword ratios look normal — the failure mode quality_scores
+    can't see.
+
+    Shape: the bigram ARRAY and its distinct count fold map-side
+    (HOFs, no shuffle — the doc_fingerprint lesson); the two mode
+    counts (max per-doc frequency) are the one thing an array HOF
+    can't do without an O(d²) interpreted nested loop, so they take
+    the canonical explode → partial-agg groupBy((doc, gram)) →
+    groupBy(doc) max path — two shuffles over token-count rows, the
+    same shape at any scale. n_tok < 2 ⇒ empty bigram array via a
+    CASE guard (Spark's sequence(1, 0) is DESCENDING [1, 0], not
+    empty — the trap the guard exists for); ratios over an empty
+    denominator are NULL on both sides."""
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    base = (
+        _docs(spark, sf)
+        .select("doc_id", toks.alias("tk"))
+        .select("doc_id", "tk", F.size("tk").alias("n_tok"))
+        .select(
+            "doc_id",
+            "tk",
+            "n_tok",
+            F.when(
+                F.col("n_tok") >= 2,
+                F.expr(
+                    "transform(sequence(1, n_tok - 1),"
+                    " i -> concat(element_at(tk, i), ' ',"
+                    " element_at(tk, i + 1)))"
+                ),
+            )
+            .otherwise(F.expr("array()"))
+            .alias("bg"),
+        )
+        .localCheckpoint()
+    )
+    top_tok = (
+        base.select("doc_id", F.explode("tk").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mc_tok"))
+    )
+    top_bg = (
+        base.select("doc_id", F.explode("bg").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mc_bg"))
+    )
+    n_bg = F.greatest(F.col("n_tok") - 1, F.lit(0))
+    return (
+        base.select(
+            "doc_id",
+            "n_tok",
+            n_bg.alias("n_bg"),
+            F.size(F.array_distinct("bg")).cast("bigint").alias("nd_bg"),
+        )
+        .join(top_tok, "doc_id", "left")
+        .join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("bigint").alias("n_tokens"),
+            F.round(F.col("mc_tok") / F.col("n_tok"), 6).alias(
+                "top_token_ratio"
+            ),
+            F.when(
+                F.col("n_bg") > 0,
+                F.round(1 - F.col("nd_bg") / F.col("n_bg"), 6),
+            ).alias("dup_bigram_ratio"),
+            F.round(F.col("mc_bg") / F.col("n_bg"), 6).alias(
+                "top_bigram_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 _MEDIA_DOCS = 64          # doc_id < 64 → 64 media rows at sf ≥ 0.01
 _MEDIA_W, _MEDIA_H = 16, 12   # PPM image geometry (W*H*3 = 576 bytes)
 # BMP geometry chosen so the row stride NEEDS padding (18*3 = 54 → 56):
@@ -1612,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_stats": _q_lang_stats,
         "quality_scores": _q_quality_scores,
+        "quality_repetition": _q_quality_repetition,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "events_json": _q_events_json,
@@ -2057,6 +2144,42 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_filter(toks, x -> x IN ('the', 'a'))) * 1.0 / len(toks), 6) AS stopword_ratio
             FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
                   FROM documents)
+            ORDER BY doc_id""",
+        # repetition signals: bigram list built positionally (DuckDB
+        # range(1, 1) is EMPTY, unlike Spark's descending sequence —
+        # no guard needed here); mode counts via unnest + two-level
+        # group-by; NULL/short-doc denominators yield NULL on both
+        # sides
+        "quality_repetition": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+              FROM documents
+            ), b AS (
+              SELECT doc_id, toks,
+                     CAST(len(toks) AS BIGINT) AS n_tok,
+                     list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+              FROM t
+            ), tc AS (
+              SELECT doc_id, max(c) AS mc_tok FROM (
+                SELECT doc_id, g, count(*) AS c
+                FROM b, UNNEST(toks) AS u(g) GROUP BY 1, 2) GROUP BY 1
+            ), bc AS (
+              SELECT doc_id, max(c) AS mc_bg FROM (
+                SELECT doc_id, g, count(*) AS c
+                FROM b, UNNEST(bgs) AS u(g) GROUP BY 1, 2) GROUP BY 1
+            )
+            SELECT b.doc_id,
+                   n_tok AS n_tokens,
+                   round(mc_tok * 1.0 / n_tok, 6) AS top_token_ratio,
+                   CASE WHEN n_tok >= 2
+                        THEN round(1 - len(list_distinct(bgs)) * 1.0 / (n_tok - 1), 6)
+                   END AS dup_bigram_ratio,
+                   CASE WHEN n_tok >= 2
+                        THEN round(mc_bg * 1.0 / (n_tok - 1), 6)
+                   END AS top_bigram_ratio
+            FROM b LEFT JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
             ORDER BY doc_id""",
         # closed-form mirror of the media kernel: the Spark side encodes
         # REAL PPM/BMP/WAV blobs from the same doc_id-derived byte
