@@ -267,7 +267,36 @@ def _shingles(spark, sf):
     return _shingles_of(_docs(spark, sf))
 
 
-_SHINGLE_CKPT_CACHE: dict = {}
+_JACCARD_MAX_DF = 20  # shingles in more docs than this are non-discriminative
+
+# (applicationId, sf, stage) → localCheckpoint'ed DataFrame. Unbounded by
+# design: the bench/driver cycle a handful of sessions per process, and a
+# dead session's entry is just a plan reference — but one dict (vs one
+# per stage) keeps that decision, and any future eviction, in one place.
+_SESSION_CKPT_CACHE: dict = {}
+
+
+def _session_ckpt(spark, sf, stage, builder):
+    """Memoize `builder().localCheckpoint()` per (session, sf, stage) —
+    the IVF-cache pattern shared by every dedup-family intermediate."""
+    key = (spark.sparkContext.applicationId, sf, stage)
+    if key not in _SESSION_CKPT_CACHE:
+        _SESSION_CKPT_CACHE[key] = builder().localCheckpoint()
+    return _SESSION_CKPT_CACHE[key]
+
+
+def _cap_shingles(sh, max_df):
+    """Drop shingles whose document frequency exceeds max_df (the
+    ONE definition of 'df-capped' — shared by the session checkpoint
+    and the standalone `_jaccard_pairs_from` path so the two can
+    never desync)."""
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .where(F.col("sdf") <= max_df)
+        .select("shingle")
+    )
+    return sh.join(df_ok, "shingle")
 
 
 def _shingles_ckpt(spark, sf):
@@ -280,13 +309,7 @@ def _shingles_ckpt(spark, sf):
     writes once and reads many times; localCheckpoint is its local[32]
     stand-in. (`pipeline_clean_corpus` keeps its own shingle pass — its
     input is the filtered SURVIVOR set, not the full corpus.)"""
-    key = (spark.sparkContext.applicationId, sf)
-    if key not in _SHINGLE_CKPT_CACHE:
-        _SHINGLE_CKPT_CACHE[key] = _shingles(spark, sf).localCheckpoint()
-    return _SHINGLE_CKPT_CACHE[key]
-
-
-_CAPPED_SHINGLE_CACHE: dict = {}
+    return _session_ckpt(spark, sf, "shingles", lambda: _shingles(spark, sf))
 
 
 def _capped_shingles_ckpt(spark, sf):
@@ -296,20 +319,12 @@ def _capped_shingles_ckpt(spark, sf):
     LSH verify stage all join against exactly this frame, so the df
     group-by + semi-join run once per session instead of once per
     invocation."""
-    key = (spark.sparkContext.applicationId, sf)
-    if key not in _CAPPED_SHINGLE_CACHE:
-        sh = _shingles_ckpt(spark, sf)
-        df_ok = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("sdf"))
-            .where(F.col("sdf") <= _JACCARD_MAX_DF)
-            .select("shingle")
-        )
-        _CAPPED_SHINGLE_CACHE[key] = sh.join(df_ok, "shingle").localCheckpoint()
-    return _CAPPED_SHINGLE_CACHE[key]
-
-
-_JACCARD_MAX_DF = 20  # shingles in more docs than this are non-discriminative
+    return _session_ckpt(
+        spark,
+        sf,
+        "capped_shingles",
+        lambda: _cap_shingles(_shingles_ckpt(spark, sf), _JACCARD_MAX_DF),
+    )
 
 
 def _q_jaccard_pairs(spark, sf):
@@ -337,13 +352,7 @@ def _jaccard_pairs_from(sh, max_df=_JACCARD_MAX_DF):
     max_df=None disables the cap — the O(d²)-exposed exact ground truth
     the bench's lsh_pair_recall diagnostic compares against."""
     if max_df is not None:
-        df_ok = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("sdf"))
-            .where(F.col("sdf") <= max_df)
-            .select("shingle")
-        )
-        sh = sh.join(df_ok, "shingle")
+        sh = _cap_shingles(sh, max_df)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -511,21 +520,18 @@ def _minhash_signatures_from(sh):
     return sh.groupBy("doc_id").agg(*cols)
 
 
-_SIGS_CKPT_CACHE: dict = {}
-
-
 def _sigs_ckpt(spark, sf):
     """Materialized MinHash signatures, one localCheckpoint per
     (session, sf) — the third shared intermediate of the LSH family:
     the signature entry, the band-pair entry, and the end-to-end verify
     pipeline all consume exactly this frame, and the K/2 md5 digests per
     shingle row are the dominant hashing cost of the whole stage."""
-    key = (spark.sparkContext.applicationId, sf)
-    if key not in _SIGS_CKPT_CACHE:
-        _SIGS_CKPT_CACHE[key] = _minhash_signatures_from(
-            _shingles_ckpt(spark, sf)
-        ).localCheckpoint()
-    return _SIGS_CKPT_CACHE[key]
+    return _session_ckpt(
+        spark,
+        sf,
+        "minhash_sigs",
+        lambda: _minhash_signatures_from(_shingles_ckpt(spark, sf)),
+    )
 
 
 def _q_minhash_signatures(spark, sf):
@@ -1321,6 +1327,17 @@ def _q_doc_fingerprint(spark, sf):
     needed Arrow kernels), so the interpreted form wins. Values are
     bit-identical to the exploded form; size() is cast back to bigint
     to keep the oracle schema."""
+    return _doc_fingerprint_frame(_docs(spark, sf))
+
+
+def _doc_fingerprint_frame(docs):
+    """The doc_fingerprint plan over an arbitrary (doc_id, text) frame
+    (split out so the NULL-text branch is unit-testable without a
+    parquet corpus). A NULL text yields _gs = [NULL] (greatest(NULL, 1)
+    = 1 index positions, each a NULL substring) — array_compact drops
+    it so n_grams = 0, matching the exploded form's countDistinct and
+    the DuckDB oracle; fp_min/fp_max are NULL on both forms already
+    (array_min/min skip NULLs)."""
     grams = F.expr(
         "transform(sequence(1, greatest(char_length(_lt) - 7, 1)),"
         " i -> substring(_lt, i, 8))"
@@ -1330,15 +1347,16 @@ def _q_doc_fingerprint(spark, sf):
         " as bigint))"
     )
     return (
-        _docs(spark, sf)
-        .select("doc_id", F.lower("text").alias("_lt"))
+        docs.select("doc_id", F.lower("text").alias("_lt"))
         .select("doc_id", grams.alias("_gs"))
         .select("doc_id", hs.alias("_hs"), "_gs")
         .select(
             "doc_id",
             F.array_min("_hs").alias("fp_min"),
             F.array_max("_hs").alias("fp_max"),
-            F.size(F.array_distinct("_gs")).cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct(F.array_compact("_gs")))
+            .cast("bigint")
+            .alias("n_grams"),
         )
         .orderBy("doc_id")
     )

@@ -374,3 +374,22 @@ def test_doc_fingerprint_mapside_identical_to_exploded(spark):
     b = ref.collect()
     assert len(a) == len(b) > 0
     assert all(ra == rb for ra, rb in zip(a, b)), "value mismatch"
+
+
+def test_doc_fingerprint_null_and_short_text(spark):
+    """The NULL-text branch must match the exploded form's semantics
+    (n_grams = 0, fp NULL — array_compact drops the [NULL] gram array
+    the transform produces; without it size∘array_distinct counts the
+    NULL as one gram) and sub-8-char docs must fingerprint their whole
+    text once, same as the exploded form."""
+    rows = [(0, None), (1, "tiny"), (2, "exactly8"), (3, "abcdefghi")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["fp_min"], r["fp_max"], r["n_grams"])
+        for r in entry_mod._doc_fingerprint_frame(df).collect()
+    }
+    assert got[0] == (None, None, 0)
+    assert got[1][2] == 1 and got[1][0] == got[1][1] is not None
+    assert got[2][2] == 1 and got[2][0] == got[2][1]
+    assert got[3][2] == 2  # 'abcdefgh', 'bcdefghi'
+    assert got[3][0] is not None and got[3][0] != got[3][1]
