@@ -1583,6 +1583,185 @@ def _q_quality_repetition(spark, sf):
     )
 
 
+# --------------------------------------------------------------------------
+# round-5 training-data pipeline extensions: sampling, decontamination,
+# LM quality scoring, containment dedup, embedding clustering
+# --------------------------------------------------------------------------
+
+_SAMPLE_PER_LANG = 20     # exact per-stratum quota
+_EVAL_MOD = 97            # doc_id % 97 == 0 ⇒ held-out "benchmark" doc
+_CONTAIN_THRESHOLD = 0.8  # directed containment cut
+
+
+def _q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling — the per-language quota draw a
+    training-data mixer runs before tokenization. Each doc's sort key is
+    md5(doc_id): content-independent, uniform, and reproducible across
+    engines and runs (no Date/rand), so the exact-N-per-stratum sample
+    is a pure function of the corpus. Shape: one hash-partition shuffle
+    on the (low-cardinality) stratum key + a per-stratum top-N window —
+    rank ≤ N cuts the sort short under AQE. At 100 TB with big quotas
+    you'd swap the window for a map-side `md5 < threshold` Bernoulli
+    gate (approximate quota, zero shuffle); the window form is the
+    exact-quota variant."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf).select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("skey")
+    )
+    w = Window.partitionBy("lang").orderBy("skey")
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= _SAMPLE_PER_LANG)
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+def _q_decontaminate(spark, sf):
+    """Benchmark decontamination — flag training docs sharing 3-gram
+    shingles with a held-out eval set (doc_id % _EVAL_MOD == 0), the
+    n-gram-overlap check every LLM data pipeline runs against its eval
+    suites. Shingles come from the session-cached full-corpus checkpoint
+    (`_shingles_ckpt` — shared with the whole dedup family, computed
+    once per session). The eval shingle set is DISTINCT and tiny
+    relative to the corpus (1/97 of docs), so the contamination probe is
+    a broadcast semi-join — map-side at any corpus size; the only
+    shuffle is the per-doc count, keyed on doc_id (never on shingle, so
+    hot n-grams can't skew a task)."""
+    sh = _shingles_ckpt(spark, sf)
+    eval_sh = (
+        sh.where(F.col("doc_id") % _EVAL_MOD == 0).select("shingle").distinct()
+    )
+    train = sh.where(F.col("doc_id") % _EVAL_MOD != 0)
+    per_doc = (
+        train.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hit = F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+    ratio = hit / F.col("n_shingles")
+    return (
+        sizes.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            hit.alias("n_contaminated"),
+            F.round(ratio, 6).alias("contamination_ratio"),
+            F.when(ratio >= 0.2, F.lit(1)).otherwise(F.lit(0)).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_quality_lm(spark, sf):
+    """Unigram-LM fluency scoring (the CCNet/KenLM-style perplexity gate,
+    reduced to its order-0 form): p(term) = cf/total over the corpus,
+    per-doc mean negative log-prob. Rare-token-heavy or OOV-heavy docs
+    score high. Determinism: ln is taken once PER DISTINCT TERM, rounded
+    to integer micro-nats (`nll_mic`), and each doc's total is an exact
+    BIGINT Σ tf·nll_mic — associative, so partition order can't move a
+    rounding boundary (the `_det_sum_value` pattern). Shape: token
+    counts (one shuffle on term) → tiny per-term table joined back to
+    per-doc tf rows (vocab ≪ corpus; AQE broadcasts it) → per-doc sum
+    keyed on doc_id."""
+    toks = _tokens(spark, sf)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    tot = toks.agg(F.count(F.lit(1)).alias("tot"))
+    lp = cf.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(-F.log(F.col("cf") / F.col("tot")) * 1e6)
+        .cast("long")
+        .alias("nll_mic"),
+    )
+    return (
+        tf.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("nll_mic")).alias("nll_micros"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "nll_micros",
+            F.round(
+                F.col("nll_micros") / F.col("n_tokens") / F.lit(1e6), 6
+            ).alias("mean_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_containment_pairs(spark, sf):
+    """Directed containment near-dup pairs: |src ∩ dst| / |src| ≥ 0.8
+    over df-capped 3-gram shingles — catches quote/wrapper/superset
+    pages whose Jaccard stays low because the containing doc is much
+    larger (the asymmetric case `jaccard_pairs` structurally misses).
+    Reuses the SAME session-cached df-capped shingle checkpoint as the
+    Jaccard/LSH family, so the shingle build, df cap, and materialized
+    scan are shared, and the self-join stays sub-quadratic for the same
+    reason (no shingle with df > cap ever joins)."""
+    sh = _capped_shingles_ckpt(spark, sf)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_src"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_src"), F.col("b.doc_id").alias("doc_dst")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_src"), "doc_src")
+        .withColumn(
+            "containment", F.round(F.col("inter") / F.col("n_src"), 6)
+        )
+        .where(F.col("containment") >= _CONTAIN_THRESHOLD)
+        .select("doc_src", "doc_dst", "inter", "containment")
+        .orderBy("doc_src", "doc_dst")
+    )
+
+
+def _q_kmeans_clusters(spark, sf):
+    """Embedding-space cluster profile: per-cell size, representative
+    (min vec_id), and mean vector norm of the k-means partition the IVF
+    family fits — the corpus-topology summary a data-mixing pipeline
+    reads before choosing sampling weights. Reuses the ONE fitted
+    quantizer + checkpointed assignment per (session, sf)
+    (`_ivf_assign2_cached`, rank 0 ≡ the Lloyd top-1 cell ≡ the
+    oracle's `fa`), so the query itself is a single groupBy over the
+    materialized assignment. mean_nrm goes through micro-scaled BIGINT
+    sums (the `_det_sum_value` pattern) so partition order can't move a
+    rounding boundary."""
+    a = _ivf_assign2_cached(spark, sf).where(F.col("rank") == 0)
+    per = a.select(
+        "cell",
+        "vec_id",
+        F.round(F.col("nrm") * F.lit(1e6)).cast("long").alias("nrm_mic"),
+    )
+    return (
+        per.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.sum("nrm_mic").alias("sum_mic"),
+        )
+        .select(
+            "cell",
+            "n_vecs",
+            "min_vec_id",
+            F.round(F.col("sum_mic") / F.col("n_vecs") / F.lit(1e6), 6).alias(
+                "mean_nrm"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
 _MEDIA_DOCS = 64          # doc_id < 64 → 64 media rows at sf ≥ 0.01
 _MEDIA_W, _MEDIA_H = 16, 12   # PPM image geometry (W*H*3 = 576 bytes)
 # BMP geometry chosen so the row stride NEEDS padding (18*3 = 54 → 56):
@@ -1717,6 +1896,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats": _q_lang_stats,
         "quality_scores": _q_quality_scores,
         "quality_repetition": _q_quality_repetition,
+        "quality_lm_score": _q_quality_lm,
+        "stratified_sample": _q_stratified_sample,
+        "decontaminate_overlap": _q_decontaminate,
+        "containment_pairs": _q_containment_pairs,
+        "kmeans_clusters": _q_kmeans_clusters,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "events_json": _q_events_json,
@@ -1838,6 +2022,23 @@ def _neardup_oracle_sql() -> str:
                JOIN e eb ON eb.vec_id = p.vec_b
         ORDER BY round({cos('ea.v', 'eb.v')}, 6) DESC, vec_a ASC, vec_b ASC
         LIMIT 20"""
+    )
+
+
+def _kmeans_oracle_sql() -> str:
+    """DuckDB mirror of _q_kmeans_clusters: the shared k-means CTE chain's
+    final assignment `fa`, per-cell size/representative/mean-norm with the
+    micro-scaled BIGINT sum (division order sum / n / 1e6 mirrored)."""
+    ctes = _ivf_fit_ctes()
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+        SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec_id,
+               round(CAST(sum(CAST(round(sqrt(list_dot_product(v, v)) * 1e6)
+                                   AS BIGINT)) AS BIGINT)
+                     / count(*) / 1e6, 6) AS mean_nrm
+        FROM fa GROUP BY cell ORDER BY cell"""
     )
 
 
@@ -2199,6 +2400,69 @@ def oracle_sql() -> dict[str, str]:
                    END AS top_bigram_ratio
             FROM b LEFT JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
             ORDER BY doc_id""",
+        # per-term ln rounded to integer micro-nats BEFORE the per-doc
+        # sum (associative BIGINT arithmetic — partition order can't
+        # move a rounding boundary); division order (sum / n / 1e6)
+        # mirrored exactly
+        "quality_lm_score": f"""
+            WITH cf AS (SELECT term, count(*) AS cf FROM {toks} t GROUP BY term),
+                 tot AS (SELECT count(*) AS tot FROM {toks} t),
+                 lp AS (SELECT term,
+                               CAST(round(-ln(cf / tot) * 1e6) AS BIGINT) AS nll_mic
+                        FROM cf, tot)
+            SELECT tf.doc_id AS doc_id,
+                   CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                   CAST(sum(tf.tf * lp.nll_mic) AS BIGINT) AS nll_micros,
+                   round(CAST(sum(tf.tf * lp.nll_mic) AS BIGINT)
+                         / CAST(sum(tf.tf) AS BIGINT) / 1e6, 6) AS mean_nll
+            FROM {tf_all} tf JOIN lp USING (term)
+            GROUP BY tf.doc_id ORDER BY doc_id""",
+        "stratified_sample": f"""
+            SELECT lang, sample_rank, doc_id FROM (
+              SELECT lang, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT)
+                       AS sample_rank
+              FROM documents)
+            WHERE sample_rank <= {_SAMPLE_PER_LANG}
+            ORDER BY lang, sample_rank""",
+        "decontaminate_overlap": f"""
+            WITH sh AS (SELECT * FROM {shingles}),
+                 ev AS (SELECT DISTINCT shingle FROM sh
+                        WHERE doc_id % {_EVAL_MOD} = 0),
+                 tr AS (SELECT * FROM sh WHERE doc_id % {_EVAL_MOD} <> 0),
+                 sizes AS (SELECT doc_id, count(*) AS n_shingles
+                           FROM tr GROUP BY doc_id),
+                 hits AS (SELECT doc_id, count(*) AS hits FROM tr
+                          WHERE shingle IN (SELECT shingle FROM ev)
+                          GROUP BY doc_id)
+            SELECT s.doc_id AS doc_id, s.n_shingles,
+                   CAST(coalesce(h.hits, 0) AS BIGINT) AS n_contaminated,
+                   round(CAST(coalesce(h.hits, 0) AS BIGINT) / s.n_shingles, 6)
+                     AS contamination_ratio,
+                   CASE WHEN CAST(coalesce(h.hits, 0) AS BIGINT) / s.n_shingles
+                             >= 0.2
+                        THEN 1 ELSE 0 END AS flagged
+            FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
+        "containment_pairs": f"""
+            WITH sh_all AS (SELECT * FROM {shingles}),
+                 sh AS (SELECT * FROM sh_all WHERE shingle IN (
+                          SELECT shingle FROM sh_all GROUP BY shingle
+                          HAVING count(*) <= {_JACCARD_MAX_DF})),
+                 sizes AS (SELECT doc_id, count(*) AS n_src
+                           FROM sh GROUP BY doc_id),
+                 inter AS (
+                   SELECT a.doc_id AS doc_src, b.doc_id AS doc_dst,
+                          count(*) AS inter
+                   FROM sh a JOIN sh b USING (shingle)
+                   WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+            SELECT doc_src, doc_dst, inter,
+                   round(inter * 1.0 / n_src, 6) AS containment
+            FROM inter JOIN sizes s ON doc_src = s.doc_id
+            WHERE round(inter * 1.0 / n_src, 6) >= {_CONTAIN_THRESHOLD}
+            ORDER BY doc_src, doc_dst""",
+        "kmeans_clusters": _kmeans_oracle_sql(),
         # closed-form mirror of the media kernel: the Spark side encodes
         # REAL PPM/BMP/WAV blobs from the same doc_id-derived byte
         # formulas and computes stats from the DECODED arrays; the oracle
