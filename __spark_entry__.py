@@ -327,6 +327,76 @@ def _capped_shingles_ckpt(spark, sf):
     )
 
 
+def _capped_sizes_ckpt(spark, sf):
+    """Per-doc df-capped shingle counts (doc_id, n_sh) — tiny, but read
+    by three queries (jaccard, containment, dedup_groups via jaccard),
+    so it rides the same session-checkpoint pattern."""
+    return _session_ckpt(
+        spark,
+        sf,
+        "capped_sizes",
+        lambda: _capped_shingles_ckpt(spark, sf)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh")),
+    )
+
+
+def _pair_inter_ckpt(spark, sf):
+    """Undirected shared-shingle intersection counts (doc_a < doc_b,
+    inter = |A∩B|) over the df-capped shingle set — the fourth shared
+    intermediate of the dedup family and its single most expensive
+    stage. Set-intersection size is symmetric, so the Jaccard entry,
+    the directed containment entry, and the CC-group entry all read
+    this ONE materialized self-join instead of re-running it per
+    query."""
+
+    def build():
+        sh = _capped_shingles_ckpt(spark, sf)
+        return (
+            sh.alias("a")
+            .join(sh.alias("b"), "shingle")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+
+    return _session_ckpt(spark, sf, "pair_inter", build)
+
+
+def _jaccard_from_inter(pairs, sizes):
+    """The ONE definition of capped-Jaccard scoring from materialized
+    (doc_a, doc_b, inter) + (doc_id, n_sh) frames — shared by the
+    session-cached driver entry and the standalone
+    `_jaccard_pairs_from` path so the two can never desync."""
+    return (
+        pairs.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "na"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "nb"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _q_jaccard_pairs(spark, sf):
     """df-capped n-gram Jaccard near-dup pairs (threshold 0.5) via
     shared-shingle self-join. Shingles appearing in > _JACCARD_MAX_DF
@@ -337,13 +407,16 @@ def _q_jaccard_pairs(spark, sf):
     median). Hot shingles carry no near-dup signal; exact duplicates
     still score 1.0 because both sides lose the same shingles.
 
-    The shingle set feeds FOUR plan branches (df cap, sizes, both join
-    sides) — the session-cached checkpoints (`_shingles_ckpt`,
-    `_capped_shingles_ckpt`) feed all of them without recomputing the
-    tokenize+explode or the df cap per branch or per invocation.
-    max_df=None because the input is ALREADY capped — same semantics as
-    _jaccard_pairs_from(raw, max_df=_JACCARD_MAX_DF)."""
-    return _jaccard_pairs_from(_capped_shingles_ckpt(spark, sf), max_df=None)
+    Reads the session-cached intersection + size checkpoints
+    (`_pair_inter_ckpt`, `_capped_sizes_ckpt`), which themselves stack
+    on the shingle checkpoints — the expensive self-join runs once per
+    session no matter how many of jaccard/containment/dedup_groups
+    execute. Semantics identical to
+    `_jaccard_pairs_from(raw, max_df=_JACCARD_MAX_DF)` (same tail via
+    `_jaccard_from_inter`)."""
+    return _jaccard_from_inter(
+        _pair_inter_ckpt(spark, sf), _capped_sizes_ckpt(spark, sf)
+    )
 
 
 def _jaccard_pairs_from(sh, max_df=_JACCARD_MAX_DF):
@@ -363,18 +436,7 @@ def _jaccard_pairs_from(sh, max_df=_JACCARD_MAX_DF):
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
-        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
-        )
-        .where(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    )
-    return out
+    return _jaccard_from_inter(pairs, sizes)
 
 
 def _q_dedup_groups(spark, sf):
@@ -1700,20 +1762,25 @@ def _q_containment_pairs(spark, sf):
     over df-capped 3-gram shingles — catches quote/wrapper/superset
     pages whose Jaccard stays low because the containing doc is much
     larger (the asymmetric case `jaccard_pairs` structurally misses).
-    Reuses the SAME session-cached df-capped shingle checkpoint as the
-    Jaccard/LSH family, so the shingle build, df cap, and materialized
-    scan are shared, and the self-join stays sub-quadratic for the same
-    reason (no shingle with df > cap ever joins)."""
-    sh = _capped_shingles_ckpt(spark, sf)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_src"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "shingle")
-        .where(F.col("a.doc_id") != F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_src"), F.col("b.doc_id").alias("doc_dst")
+    Set-intersection size is symmetric, so the directed rows come from
+    ONE undirected pass: this reads the session-cached
+    `_pair_inter_ckpt` (the same materialized self-join Jaccard and the
+    CC groups consume — the family's most expensive stage runs once per
+    session) and emits each undirected pair in both directions before
+    the per-direction |src| normalization. Sub-quadratic for the same
+    reason as Jaccard: no shingle with df > cap ever joins."""
+    und = _pair_inter_ckpt(spark, sf)
+    sizes = _capped_sizes_ckpt(spark, sf).withColumnRenamed("n_sh", "n_src")
+    inter = und.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_dst"),
+        "inter",
+    ).union(
+        und.select(
+            F.col("doc_b").alias("doc_src"),
+            F.col("doc_a").alias("doc_dst"),
+            "inter",
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
     )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_src"), "doc_src")
