@@ -1793,6 +1793,63 @@ def _q_containment_pairs(spark, sf):
     )
 
 
+_SPAN_LEN = 32   # window length (chars)
+_SPAN_STRIDE = 16  # window stride — bounds rows at len/stride per doc
+
+
+def _q_span_dedup_stats(spark, sf):
+    """Span-level exact-duplication profile (the repeated-substring
+    signal doc-level dedup can't see: boilerplate headers, licence
+    blocks, templated paragraphs shared across otherwise-distinct
+    pages). Per doc: the number of stride-16 32-char windows and the
+    fraction whose exact text occurs in ≥2 DISTINCT documents.
+
+    Shape: strided windows keep the exploded row count at len/16 per
+    doc (not len — the full-substring explode is the quadratic trap);
+    the duplicated-window set is found with one (window → distinct-doc
+    df) aggregation and joined back LEFT SEMI, so each (doc, window)
+    row matches at most once — a hot boilerplate window shared by d
+    docs costs d rows, never d². Docs shorter than one window are
+    excluded on both sides (Spark's sequence() with a positive step
+    rejects descending bounds — the CASE-guard trap quality_repetition
+    documents)."""
+    d = _docs(spark, sf).select(
+        "doc_id", F.lower("text").alias("t")
+    ).where(F.length("t") >= _SPAN_LEN)
+    win = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(t) - {_SPAN_LEN - 1},"
+                f" {_SPAN_STRIDE}), i -> substring(t, i, {_SPAN_LEN}))"
+            )
+        ).alias("w"),
+    )
+    dup = (
+        win.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("wdf"))
+        .where(F.col("wdf") >= 2)
+        .select("w")
+    )
+    hits = (
+        win.join(dup, "w", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    sizes = win.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_windows"))
+    ndup = F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long")
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            ndup.alias("n_dup_windows"),
+            F.round(ndup / F.col("n_windows"), 6).alias("dup_span_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_kmeans_clusters(spark, sf):
     """Embedding-space cluster profile: per-cell size, representative
     (min vec_id), and mean vector norm of the k-means partition the IVF
@@ -1967,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "decontaminate_overlap": _q_decontaminate,
         "containment_pairs": _q_containment_pairs,
+        "span_dedup_stats": _q_span_dedup_stats,
         "kmeans_clusters": _q_kmeans_clusters,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
@@ -2529,6 +2587,25 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes s ON doc_src = s.doc_id
             WHERE round(inter * 1.0 / n_src, 6) >= {_CONTAIN_THRESHOLD}
             ORDER BY doc_src, doc_dst""",
+        "span_dedup_stats": f"""
+            WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
+                       WHERE length(lower(text)) >= {_SPAN_LEN}),
+                 win AS (
+                   SELECT doc_id, substr(t, g.i, {_SPAN_LEN}) AS w
+                   FROM d, LATERAL (SELECT unnest(generate_series(1,
+                        length(t) - {_SPAN_LEN - 1}, {_SPAN_STRIDE})) AS i) g),
+                 dup AS (SELECT w FROM win GROUP BY w
+                         HAVING count(DISTINCT doc_id) >= 2),
+                 sizes AS (SELECT doc_id, count(*) AS n_windows
+                           FROM win GROUP BY doc_id),
+                 hits AS (SELECT doc_id, count(*) AS n_dup
+                          FROM win WHERE w IN (SELECT w FROM dup)
+                          GROUP BY doc_id)
+            SELECT s.doc_id AS doc_id, s.n_windows,
+                   CAST(coalesce(h.n_dup, 0) AS BIGINT) AS n_dup_windows,
+                   round(CAST(coalesce(h.n_dup, 0) AS BIGINT) / s.n_windows, 6)
+                     AS dup_span_ratio
+            FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""",
         "kmeans_clusters": _kmeans_oracle_sql(),
         # closed-form mirror of the media kernel: the Spark side encodes
         # REAL PPM/BMP/WAV blobs from the same doc_id-derived byte

@@ -103,6 +103,27 @@ def test_quality_lm_rare_tokens_score_higher(spark, tmp_path):
     assert got[0]["n_tokens"] == 10 and got[99]["n_tokens"] == 10
 
 
+def test_span_dedup_detects_shared_boilerplate(spark, tmp_path):
+    """Two docs sharing a 48-char boilerplate prefix each carry exactly
+    the two windows inside it as duplicated spans; a same-length unique
+    doc carries none; a doc shorter than one window is excluded."""
+    boiler = "shared license header exactly fortyeight chars--"  # 48 chars
+    assert len(boiler) == 48
+    rows = [
+        _doc(1, boiler + " alpha unique tail for document one padding"),
+        _doc(2, boiler + " totally different continuation two padding"),
+        _doc(3, "an entirely unique document body with no repeats at all"),
+        _doc(4, "too short"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"]: r for r in entry_mod._q_span_dedup_stats(spark, sf).collect()}
+    assert 4 not in got
+    # windows at offsets 0 and 16 lie inside the 48-char shared prefix
+    assert got[1]["n_dup_windows"] == 2 and got[2]["n_dup_windows"] == 2
+    assert got[3]["n_dup_windows"] == 0 and got[3]["dup_span_ratio"] == 0.0
+    assert 0 < got[1]["dup_span_ratio"] < 1
+
+
 def test_kmeans_clusters_partition_the_corpus(spark):
     """Cluster sizes must sum to the corpus (rank-0 assignment is a
     partition), cells must match the adaptive K, and the profile must be
