@@ -1686,18 +1686,22 @@ def _q_decontaminate(spark, sf):
     n-gram-overlap check every LLM data pipeline runs against its eval
     suites. Shingles come from the session-cached full-corpus checkpoint
     (`_shingles_ckpt` — shared with the whole dedup family, computed
-    once per session). The eval shingle set is DISTINCT and tiny
-    relative to the corpus (1/97 of docs), so the contamination probe is
-    a broadcast semi-join — map-side at any corpus size; the only
-    shuffle is the per-doc count, keyed on doc_id (never on shingle, so
-    hot n-grams can't skew a task)."""
+    once per session). A production eval suite is FIXED and tiny, so
+    the contamination probe is a broadcast semi-join — map-side at any
+    corpus size; the join carries no explicit broadcast hint because
+    this synthetic stand-in slice (1/97 of docs) grows WITH the corpus:
+    AQE picks broadcast whenever the eval set fits (it does at every
+    bench scale) and degrades to a shuffled semi-join instead of an
+    OOM if it ever doesn't. The only other shuffle is the per-doc
+    count, keyed on doc_id (never on shingle, so hot n-grams can't
+    skew a task)."""
     sh = _shingles_ckpt(spark, sf)
     eval_sh = (
         sh.where(F.col("doc_id") % _EVAL_MOD == 0).select("shingle").distinct()
     )
     train = sh.where(F.col("doc_id") % _EVAL_MOD != 0)
     per_doc = (
-        train.join(F.broadcast(eval_sh), "shingle", "left_semi")
+        train.join(eval_sh, "shingle", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
