@@ -1660,20 +1660,31 @@ def _q_stratified_sample(spark, sf):
     training-data mixer runs before tokenization. Each doc's sort key is
     md5(doc_id): content-independent, uniform, and reproducible across
     engines and runs (no Date/rand), so the exact-N-per-stratum sample
-    is a pure function of the corpus. Shape: one hash-partition shuffle
-    on the (low-cardinality) stratum key + a per-stratum top-N window —
-    rank ≤ N cuts the sort short under AQE. At 100 TB with big quotas
-    you'd swap the window for a map-side `md5 < threshold` Bernoulli
-    gate (approximate quota, zero shuffle); the window form is the
-    exact-quota variant."""
+    is a pure function of the corpus. Shape: two-phase exact top-N —
+    a bare `Window.partitionBy(lang)` would route an ENTIRE stratum
+    through one task (the bare-key skew rule: a 10¹²-row corpus with 5
+    languages is five 200-billion-row sorts on five cores), so phase 1
+    takes each input partition's local top-N per stratum (window keyed
+    on (lang, spark_partition_id) — balanced, bounded by partition
+    size) and phase 2 ranks only the ≤ N·num_partitions survivors per
+    stratum. Global top-N of per-partition top-Ns ≡ global top-N, so
+    the result — and the oracle, which keeps the simple one-window
+    form — is unchanged. With huge quotas you'd swap phase 2 for a
+    map-side `md5 < threshold` Bernoulli gate (approximate quota)."""
     from pyspark.sql.window import Window
 
     d = _docs(spark, sf).select(
         "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("skey")
+    ).withColumn("pid", F.spark_partition_id())
+    w1 = Window.partitionBy("lang", "pid").orderBy("skey")
+    cand = (
+        d.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= _SAMPLE_PER_LANG)
+        .drop("pid", "r1")
     )
     w = Window.partitionBy("lang").orderBy("skey")
     return (
-        d.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        cand.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= _SAMPLE_PER_LANG)
         .select("lang", "sample_rank", "doc_id")
         .orderBy("lang", "sample_rank")
