@@ -51,6 +51,42 @@ def test_stratified_sample_exact_quota_and_determinism(spark, tmp_path):
         assert ranks == list(range(1, len(ids) + 1))
 
 
+def test_stratified_two_phase_equals_single_window(spark, tmp_path):
+    """The two-phase exact top-N (per-input-partition top-N, then final
+    rank over survivors) must equal the naive one-window form for every
+    input partitioning — the property that lets the plan avoid routing
+    a whole stratum through one task. Fuzzed over a skewed stratum
+    layout and three repartitions of the same corpus."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rng = random.Random(77)
+    rows = [
+        _doc(i, f"body {i}", rng.choice(["en"] * 8 + ["de", "fr"]))
+        for i in range(120)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = sorted(
+        tuple(r) for r in entry_mod._q_stratified_sample(spark, sf).collect()
+    )
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("skey")
+    )
+    for nparts in (1, 7, 64):
+        w = Window.partitionBy("lang").orderBy("skey")
+        naive = sorted(
+            tuple(r)
+            for r in d.repartition(nparts)
+            .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+            .where(F.col("sample_rank") <= entry_mod._SAMPLE_PER_LANG)
+            .select("lang", "sample_rank", "doc_id")
+            .collect()
+        )
+        assert naive == got, nparts
+
+
 def test_decontaminate_flags_exact_eval_duplicate(spark, tmp_path):
     """A training doc that byte-duplicates an eval doc (doc_id % 97 == 0)
     is fully contaminated (ratio 1.0, flagged); a disjoint-vocab doc is
