@@ -1808,6 +1808,50 @@ def _q_containment_pairs(spark, sf):
     )
 
 
+_TOP_TERMS_K = 3
+
+
+def _q_top_terms(spark, sf):
+    """Per-doc keyword extraction: the top-K terms of every document by
+    the reference's tf-idf weight (wdt·wqt = (1+ln tf)·ln(1+N/df) —
+    the doc-length normalization cancels inside a single doc's
+    ranking), the tag/keyword feature a corpus browser or a
+    topic-labeled training mix builds from the index it already has.
+    Ranking happens on the ROUNDED weight with the term as tiebreak,
+    so rank assignment is identical on both engines (the raw doubles
+    may differ in the last ulp between ln implementations — the same
+    reason every float column rounds before comparison). Shape: tf
+    and df are the index's own aggregates; the per-doc top-K window
+    partitions on doc_id — millions of balanced keys, never a bare
+    low-cardinality stratum (the stratified_sample lesson doesn't
+    apply: no giant partition exists)."""
+    from pyspark.sql.window import Window
+
+    n = _docs(spark, sf).count()
+    tf = (
+        _tokens(spark, sf)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            (F.lit(1.0) + F.log("tf"))
+            * F.log(F.lit(1.0) + F.lit(float(n)) / F.col("df")),
+            6,
+        ).alias("w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .where(F.col("rank") <= _TOP_TERMS_K)
+        .select("doc_id", "rank", "term", "w")
+        .orderBy("doc_id", "rank")
+    )
+
+
 _SPAN_LEN = 32   # window length (chars)
 _SPAN_STRIDE = 16  # window stride — bounds rows at len/stride per doc
 
@@ -2040,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_overlap": _q_decontaminate,
         "containment_pairs": _q_containment_pairs,
         "span_dedup_stats": _q_span_dedup_stats,
+        "top_terms_per_doc": _q_top_terms,
         "kmeans_clusters": _q_kmeans_clusters,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
@@ -2602,6 +2647,23 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes s ON doc_src = s.doc_id
             WHERE round(inter * 1.0 / n_src, 6) >= {_CONTAIN_THRESHOLD}
             ORDER BY doc_src, doc_dst""",
+        # rank over the ROUNDED weight (term tiebreak) so rank
+        # assignment can't flip on a last-ulp ln difference
+        "top_terms_per_doc": f"""
+            WITH tf AS (SELECT * FROM {tf_all} t),
+                 dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+                 scored AS (
+                   SELECT tf.doc_id, tf.term,
+                          round((1.0 + ln(tf.tf))
+                                * ln(1.0 + {n_docs} * 1.0 / dfq.df), 6) AS w
+                   FROM tf JOIN dfq USING (term)),
+                 r AS (
+                   SELECT doc_id, term, w,
+                          CAST(row_number() OVER (PARTITION BY doc_id
+                            ORDER BY w DESC, term ASC) AS BIGINT) AS rank
+                   FROM scored)
+            SELECT doc_id, rank, term, w FROM r
+            WHERE rank <= {_TOP_TERMS_K} ORDER BY doc_id, rank""",
         "span_dedup_stats": f"""
             WITH d AS (SELECT doc_id, lower(text) AS t FROM documents
                        WHERE length(lower(text)) >= {_SPAN_LEN}),

@@ -160,6 +160,24 @@ def test_span_dedup_detects_shared_boilerplate(spark, tmp_path):
     assert 0 < got[1]["dup_span_ratio"] < 1
 
 
+def test_top_terms_rank_rare_repeated_token_first(spark, tmp_path):
+    """A term that is frequent WITHIN a doc but rare across the corpus
+    must out-rank corpus-wide filler — the tf·idf ordering the keyword
+    extractor exists to produce; every doc gets exactly min(K, n_terms)
+    rows with contiguous ranks."""
+    rows = [_doc(i, "common filler words appear everywhere always") for i in range(6)]
+    rows.append(_doc(10, "zebra zebra zebra common filler"))
+    sf = _write_docs(spark, tmp_path, rows)
+    got = entry_mod._q_top_terms(spark, sf).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    assert by_doc[10][0] == (1, "zebra")
+    for doc_id, terms in by_doc.items():
+        assert [r for r, _ in terms] == list(range(1, len(terms) + 1))
+        assert len(terms) <= entry_mod._TOP_TERMS_K
+
+
 def test_kmeans_clusters_partition_the_corpus(spark):
     """Cluster sizes must sum to the corpus (rank-0 assignment is a
     partition), cells must match the adaptive K, and the profile must be
